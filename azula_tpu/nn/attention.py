@@ -1,0 +1,172 @@
+r"""Attention layers.
+
+Capability parity with the reference `azula/nn/attention.py` (156 LoC): fused-QKV
+multi-head self-attention with optional QK-RMSNorm and learned continuous RoPE.
+The attention product runs through :func:`azula_tpu.ops.attention.dot_product_attention`
+(Pallas flash attention on TPU) instead of `F.scaled_dot_product_attention`
+(`attention.py:98-104`).
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "MultiheadSelfAttention",
+    "apply_rope",
+]
+
+import jax
+import jax.numpy as jnp
+import math
+
+from einops import rearrange
+from jax import Array
+
+from ..ops.attention import dot_product_attention
+from .layers import Identity, Linear, RMSNorm
+from .module import Module
+from .utils import promote_dtype
+
+
+class MultiheadSelfAttention(Module):
+    r"""Creates a multi-head self-attention layer.
+
+    Reference: `azula/nn/attention.py:17-109`.
+
+    Arguments:
+        channels: The number of channels :math:`H \times C`.
+        pos_channels: The number of positional channels :math:`P` (with RoPE).
+        attention_heads: The number of attention heads :math:`H`.
+        qkv_bias: Whether to add bias to the query-key-value projection.
+        qk_norm: Whether to use query-key RMS-normalization.
+        rope: Whether to use learned continuous rotary positional embedding.
+        dropout: The attention dropout rate in :math:`[0, 1]`.
+        key: A PRNG key for parameter initialization.
+    """
+
+    def __init__(
+        self,
+        channels: int,
+        pos_channels: int = 1,
+        attention_heads: int = 1,
+        qkv_bias: bool = True,
+        qk_norm: bool = True,
+        rope: bool = False,
+        dropout: float | None = None,
+        *,
+        key: Array,
+    ) -> None:
+        assert channels % attention_heads == 0
+
+        qkv_key, y_key, m_key, d_key = jax.random.split(key, 4)
+
+        self.qkv_proj = Linear(channels, 3 * channels, bias=qkv_bias, key=qkv_key)
+        self.y_proj = Linear(channels, channels, bias=False, key=y_key)
+
+        if qk_norm:
+            self.qk_norm = RMSNorm(dim=-1, eps=1e-5)
+        else:
+            self.qk_norm = Identity()
+
+        if rope:
+            # Learned continuous RoPE: angles are a linear map of P-dim positions,
+            # initialized as random log-magnitudes x random unit directions
+            # (reference `attention.py:60-68`).
+            magnitude = jnp.exp(
+                math.log(1e-1) * jax.random.uniform(m_key, (channels // 2, 1))
+            )
+            direction = jax.random.normal(d_key, (channels // 2, pos_channels))
+            direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+
+            self.theta_proj = Linear(pos_channels, channels // 2, bias=False, key=m_key)
+            self.theta_proj.weight = (magnitude * direction).T
+        else:
+            self.theta_proj = None
+
+        self.heads = attention_heads
+        self.dropout = 0.0 if dropout is None else dropout
+
+    def __call__(
+        self,
+        x: Array,
+        pos: Array | None = None,
+        mask: Array | None = None,
+        key: Array | None = None,
+    ) -> Array:
+        r"""
+        Arguments:
+            x: The input tokens :math:`x`, with shape :math:`(*, L, H \times C)`.
+            pos: Optional position vectors :math:`p`, with shape :math:`(*, L, P)`.
+            mask: Optional attention mask, with shape :math:`(L, L)`.
+            key: A PRNG key; enables attention dropout (training).
+
+        Returns:
+            The output tokens :math:`y`, with shape :math:`(*, L, H \times C)`.
+        """
+
+        qkv = self.qkv_proj(x)
+        q, k, v = rearrange(qkv, "... L (n H C) -> n ... H L C", n=3, H=self.heads)
+        q, k = self.qk_norm(q), self.qk_norm(k)
+
+        if self.theta_proj is not None:
+            theta = self.theta_proj(pos)
+            theta = rearrange(theta, "... L (H C) -> ... H L C", H=self.heads)
+            q, k = apply_rope(q, k, theta)
+
+        y = dot_product_attention(
+            q,
+            k,
+            v,
+            mask=mask,
+            dropout_rate=self.dropout if key is not None else 0.0,
+            key=key,
+        )
+
+        y = rearrange(y, "... H L C -> ... L (H C)")
+        y = self.y_proj(y)
+
+        return y
+
+
+@promote_dtype
+def apply_rope(q: Array, k: Array, theta: Array) -> tuple[Array, Array]:
+    r"""Rotates query/key pairs by position-dependent angles.
+
+    Reference: `azula/nn/attention.py:112-156`.
+
+    Arguments:
+        q: The query vectors, with shape :math:`(*, C)`.
+        k: The key vectors, with shape :math:`(*, C)`.
+        theta: Rotary angles, with shape :math:`(*, C / 2)`.
+
+    Returns:
+        The rotated query and key vectors, with shape :math:`(*, C)`.
+    """
+
+    q = q.reshape(*q.shape[:-1], -1, 2)
+    k = k.reshape(*k.shape[:-1], -1, 2)
+
+    q_real, q_imag = q[..., 0], q[..., 1]
+    k_real, k_imag = k[..., 0], k[..., 1]
+
+    cos_theta = jnp.cos(theta)
+    sin_theta = jnp.sin(theta)
+
+    q = jnp.stack(
+        (
+            q_real * cos_theta - q_imag * sin_theta,
+            q_real * sin_theta + q_imag * cos_theta,
+        ),
+        axis=-1,
+    )
+    q = q.reshape(*q.shape[:-2], -1)
+
+    k = jnp.stack(
+        (
+            k_real * cos_theta - k_imag * sin_theta,
+            k_real * sin_theta + k_imag * cos_theta,
+        ),
+        axis=-1,
+    )
+    k = k.reshape(*k.shape[:-2], -1)
+
+    return q, k

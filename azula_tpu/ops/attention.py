@@ -1,0 +1,212 @@
+r"""Scaled dot-product attention.
+
+TPU-native replacement for the reference's call into
+`torch.nn.functional.scaled_dot_product_attention` (`azula/nn/attention.py:98-104`)
+and the vendored einsum attention (`azula/plugins/adm/_src/unet.py:328-345`): a
+blockwise Pallas flash-attention kernel with float32 accumulation, plus a pure-XLA
+fallback used on non-TPU backends, for masked/dropout attention, and for the
+backward pass.
+
+Image-diffusion sequence lengths are moderate (≤ 4096 tokens at 512px latents,
+SURVEY.md §5.7), so the kernel keeps each (batch, head)'s full K/V block resident
+in VMEM and tiles over query blocks — no online-softmax rescaling passes, maximal
+MXU occupancy.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "dot_product_attention",
+]
+
+import functools
+import jax
+import jax.numpy as jnp
+import math
+
+from jax import Array
+
+
+def _xla_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    mask: Array | None = None,
+    scale: float | None = None,
+) -> Array:
+    r"""Reference XLA implementation: softmax(q kᵀ / √D) v with fp32 softmax."""
+
+    if scale is None:
+        scale = 1 / math.sqrt(q.shape[-1])
+
+    logits = jnp.einsum(
+        "...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, -jnp.inf)
+        else:
+            logits = logits + mask
+
+    weights = jax.nn.softmax(logits, axis=-1)
+
+    return jnp.einsum(
+        "...qk,...kd->...qd", weights.astype(q.dtype), v
+    )
+
+
+def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    r"""Flash attention forward as a Pallas TPU kernel.
+
+    Shapes: q, k, v are (B, H, L, D). Grid is (B * H, L / BLOCK_Q); each program
+    holds one query block and the full K/V of its (batch, head) in VMEM.
+    """
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    BLOCK_Q = min(512, L)
+
+    qf = q.reshape(B * H, L, D)
+    kf = k.reshape(B * H, L, D)
+    vf = v.reshape(B * H, L, D)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0]  # (BLOCK_Q, D)
+        kb = k_ref[0]  # (L, D)
+        vb = v_ref[0]  # (L, D)
+
+        logits = jax.lax.dot_general(
+            qb,
+            kb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale
+
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        d = jnp.sum(p, axis=-1, keepdims=True)
+        w = (p / d).astype(vb.dtype)
+
+        o_ref[0] = jnp.dot(w, vb, preferred_element_type=jnp.float32).astype(
+            o_ref.dtype
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, pl.cdiv(L, BLOCK_Q)),
+        in_specs=[
+            pl.BlockSpec(
+                (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * L * D,
+            bytes_accessed=3 * B * H * L * D * q.dtype.itemsize
+            + B * H * L * D * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(qf, kf, vf)
+
+    return out.reshape(B, H, L, D)
+
+
+def _use_pallas(q: Array, mask, dropout_rate: float) -> bool:
+    if mask is not None or dropout_rate > 0:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if q.ndim != 4:
+        return False
+
+    L, D = q.shape[-2], q.shape[-1]
+
+    # Lane/sublane alignment; small or ragged shapes fall back to XLA.
+    return L >= 128 and L % 128 == 0 and D % 128 == 0 and D <= 256
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
+    return _pallas_attention(q, k, v, scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _pallas_attention(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, residuals, g):
+    # The backward pass recomputes the XLA forward and differentiates it; the
+    # benchmark-critical sampling path is forward-only and stays on the kernel.
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale=scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    mask: Array | None = None,
+    dropout_rate: float = 0.0,
+    key: Array | None = None,
+    scale: float | None = None,
+) -> Array:
+    r"""Computes scaled dot-product attention.
+
+    .. math:: \mathrm{softmax}\left(\frac{q k^\top}{\sqrt{D}}\right) v
+
+    Dispatches to the Pallas flash-attention kernel on TPU for unmasked,
+    dropout-free attention with aligned shapes; otherwise to a fused XLA
+    implementation.
+
+    Arguments:
+        q: Queries, with shape :math:`(*, H, L, D)`.
+        k: Keys, with shape :math:`(*, H, L, D)`.
+        v: Values, with shape :math:`(*, H, L, D)`.
+        mask: Optional boolean or additive mask, broadcastable to :math:`(L, L)`.
+        dropout_rate: Attention-weight dropout rate.
+        key: PRNG key, required when ``dropout_rate > 0``.
+        scale: Logit scale; defaults to :math:`1 / \sqrt{D}`.
+
+    Returns:
+        The attention output, with shape :math:`(*, H, L, D)`.
+    """
+
+    if scale is None:
+        scale = 1 / math.sqrt(q.shape[-1])
+
+    if dropout_rate > 0:
+        if key is None:
+            raise ValueError("attention dropout requires a PRNG `key`")
+
+        logits = (
+            jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        if mask is not None:
+            if mask.dtype == jnp.bool_:
+                logits = jnp.where(mask, logits, -jnp.inf)
+            else:
+                logits = logits + mask
+        weights = jax.nn.softmax(logits, axis=-1)
+        keep = jax.random.bernoulli(key, 1 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1 - dropout_rate), 0.0)
+        return jnp.einsum("...qk,...kd->...qd", weights.astype(q.dtype), v)
+
+    if _use_pallas(q, mask, dropout_rate):
+        return _flash(q, k, v, scale)
+
+    return _xla_attention(q, k, v, mask=mask, scale=scale)

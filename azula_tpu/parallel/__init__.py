@@ -1,0 +1,16 @@
+r"""Device meshes, sharding rules and distributed sampling.
+
+The reference is single-process single-device (no `torch.distributed` anywhere;
+device placement is `Module.to(device)`, README.md:76). This package is the
+TPU-native first-class replacement (SURVEY.md §2.8): `jax.sharding.Mesh`
+construction over ICI/DCN, data-parallel sharding of sampler state, optional
+tensor-parallel parameter shardings — XLA emits the collectives.
+"""
+
+from .mesh import (  # noqa: F401
+    data_sharding,
+    get_mesh,
+    make_mesh,
+    replicated,
+    shard_batch,
+)

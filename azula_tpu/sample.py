@@ -1,0 +1,635 @@
+r"""Reverse diffusion samplers.
+
+Capability parity with the reference `azula/sample.py` (993 LoC): the full sampler
+family — DDPM, DDIM, Euler, Heun, Itô, Adams-Bashforth multistep (z/v), exponential
+AB multistep (z/x, i.e. DPM-Solver / DPM-Solver++), Rosenbrock exponential AB
+(DPM-Solver-v3) and predictor-corrector.
+
+TPU-first design (replacing the Python step loop at `sample.py:151-157`):
+
+- The **whole reverse trajectory compiles to one** :func:`jax.lax.scan` whose body
+  fuses schedule arithmetic, denoiser forward and the update rule. One
+  compilation, zero host-device round trips per step.
+- Randomness is explicit: `__call__(x, key)` threads a PRNG key; per-step noise
+  is derived with `jax.random.fold_in`.
+- Multistep history buffers (`sample.py:510-539` etc.) become fixed-size scan
+  carries; the per-step Vandermonde coefficient solves in float64
+  (`sample.py:486`) are precomputed **on the host in NumPy float64** for the full
+  timestep grid — they depend only on the (static) timesteps — keeping emulated
+  float64 off the TPU.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "Sampler",
+    "DDPMSampler",
+    "DDIMSampler",
+    "EulerSampler",
+    "HeunSampler",
+    "ItoSampler",
+    "zABSampler",
+    "vABSampler",
+    "zEABSampler",
+    "xEABSampler",
+    "REABSampler",
+    "PCSampler",
+]
+
+import abc
+import functools
+import jax
+import jax.numpy as jnp
+import math
+import numpy as np
+
+from collections.abc import Sequence
+from jax import Array
+
+from .denoise import Denoiser
+from .nn.module import Module
+from .utils.pytree import combine, partition
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _call_jit(static, arrays, x, key, kwargs):
+    sampler = combine(arrays, static)
+    return sampler._trajectory(x, key, **kwargs)
+
+
+class Sampler(Module, abc.ABC):
+    r"""Abstract reverse diffusion sampler.
+
+    Reference: `azula/sample.py:54-176`. The `silent`/progress-bar machinery
+    (`sample.py:130-137`) has no equivalent: the loop is compiled.
+
+    Arguments:
+        start: The starting time :math:`t_T`.
+        stop: The stopping time :math:`t_0`.
+        steps: The number of discretization steps :math:`T`.
+    """
+
+    denoiser: Denoiser
+
+    def __init__(self, start: float = 1.0, stop: float = 0.0, steps: int = 64) -> None:
+        self.start = start
+        self.stop = stop
+        self.steps = steps
+
+    @property
+    def timesteps(self) -> Array:
+        return jnp.linspace(self.start, self.stop, self.steps + 1)
+
+    @property
+    def timesteps_np(self) -> np.ndarray:
+        r"""Host-side float64 timesteps, used for coefficient precomputation."""
+
+        return np.linspace(self.start, self.stop, self.steps + 1, dtype=np.float64)
+
+    @property
+    def requires_key(self) -> bool:
+        r"""Whether the sampler draws noise during the reverse process."""
+
+        return False
+
+    def init(
+        self,
+        key: Array,
+        shape: Sequence[int],
+        mean: float | Array = 0.0,
+        var: float | Array = 1.0,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> Array:
+        r"""Draws an initial noisy tensor :math:`x_{t_T}`.
+
+        .. math:: x_{t_T} \sim \mathcal{N}(\alpha_{t_T} \mathbb{E}[X],
+            \alpha_{t_T}^2 \mathbb{V}[X] + \sigma_{t_T}^2 I)
+
+        Reference: `azula/sample.py:96-128`.
+
+        Arguments:
+            key: A PRNG key.
+            shape: The shape :math:`(*)` of the tensor.
+            mean: The mean :math:`\mathbb{E}[X]` of :math:`p(X)`.
+            var: The variance :math:`\mathbb{V}[X]` of :math:`p(X)`.
+            dtype: The data type of the tensor.
+        """
+
+        t_T = self.timesteps[0]
+
+        alpha_T, sigma_T = self.denoiser.schedule(t_T)
+
+        mean_T = jnp.broadcast_to(jnp.asarray(alpha_T * mean, dtype=dtype), shape)
+        std_T = jnp.broadcast_to(
+            jnp.asarray(jnp.sqrt(alpha_T**2 * var + sigma_T**2), dtype=dtype), shape
+        )
+
+        return mean_T + std_T * jax.random.normal(key, shape, dtype=dtype)
+
+    def __call__(self, x: Array, key: Array | None = None, **kwargs) -> Array:
+        r"""Simulates the reverse process from :math:`t_T` to :math:`t_0`.
+
+        The full trajectory runs as a single jitted :func:`jax.lax.scan`.
+
+        Arguments:
+            x: A noisy tensor :math:`x_{t_T}`, with shape :math:`(*)`.
+            key: A PRNG key for the reverse-process noise. Required for
+                stochastic samplers.
+            kwargs: Optional keyword arguments (conditioning), passed to the
+                denoiser at every step.
+
+        Returns:
+            The clean(er) tensor :math:`x_{t_0}`, with shape :math:`(*)`.
+        """
+
+        if self.requires_key and key is None:
+            raise ValueError(
+                f"{type(self).__name__} is stochastic: a PRNG `key` is required."
+            )
+
+        arrays, static = partition(self)
+
+        return _call_jit(static, arrays, x, key, kwargs)
+
+    def _trajectory(self, x: Array, key: Array | None, **kwargs) -> Array:
+        time = self.timesteps.astype(x.dtype)
+
+        def body(x_t, inp):
+            i, t, s = inp
+            k = None if key is None else jax.random.fold_in(key, i)
+            x_s = self.step(x_t, t, s, key=k, **kwargs)
+            return x_s, None
+
+        x, _ = jax.lax.scan(
+            body, x, (jnp.arange(self.steps), time[:-1], time[1:])
+        )
+
+        return x
+
+    def step(
+        self, x_t: Array, t: Array, s: Array, key: Array | None = None, **kwargs
+    ) -> Array:
+        r"""Simulates the reverse process from :math:`t` to :math:`s < t`.
+
+        Arguments:
+            x_t: The current tensor :math:`x_t`, with shape :math:`(*)`.
+            t: The current time :math:`t`, with shape :math:`()`.
+            s: The target time :math:`s`, with shape :math:`()`.
+            key: A PRNG key for the transition noise.
+            kwargs: Optional keyword arguments (conditioning).
+
+        Returns:
+            The new tensor :math:`x_s \sim q(X_s \mid x_t)`, with shape :math:`(*)`.
+        """
+
+        raise NotImplementedError()
+
+    def _noise(self, key: Array | None, like: Array) -> Array:
+        if key is None:
+            return jnp.zeros_like(like)
+        else:
+            return jax.random.normal(key, like.shape, dtype=like.dtype)
+
+
+class DDPMSampler(Sampler):
+    r"""Creates a DDPM (ancestral) sampler.
+
+    .. math:: x_s \gets \alpha_s \mathbb{E}[X \mid x_t]
+        + \sigma_s \sqrt{1 - \tau} \, \frac{x_t - \alpha_t \mathbb{E}[X \mid x_t]}{\sigma_t}
+        + \sigma_s \sqrt{\tau} \, \varepsilon,
+        \quad \tau = 1 - \frac{\alpha_t^2}{\alpha_s^2} \frac{\sigma_s^2}{\sigma_t^2}
+
+    Reference: `azula/sample.py:179-216`.
+    """
+
+    def __init__(self, denoiser: Denoiser, **kwargs) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+
+    @property
+    def requires_key(self) -> bool:
+        return True
+
+    def step(self, x_t, t, s, key=None, **kwargs):
+        alpha_s, sigma_s = self.denoiser.schedule(s)
+        alpha_t, sigma_t = self.denoiser.schedule(t)
+
+        tau = 1 - (alpha_t / alpha_s * sigma_s / sigma_t) ** 2
+
+        q_t = self.denoiser(x_t, t, **kwargs)
+
+        x_s = alpha_s * q_t.mean
+        x_s = x_s + sigma_s * jnp.sqrt(1 - tau) / sigma_t * (x_t - alpha_t * q_t.mean)
+        x_s = x_s + sigma_s * jnp.sqrt(tau) * self._noise(key, x_t)
+
+        return x_s
+
+
+class DDIMSampler(Sampler):
+    r"""Creates a DDIM sampler with stochasticity :math:`\eta`.
+
+    :math:`\eta = 1` is equivalent to :class:`DDPMSampler`; :math:`\eta = 0` to
+    :class:`EulerSampler`. Reference: `azula/sample.py:219-261`.
+    """
+
+    def __init__(self, denoiser: Denoiser, eta: float = 0.0, **kwargs) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+        self.eta = eta
+
+    @property
+    def requires_key(self) -> bool:
+        return self.eta > 0
+
+    def step(self, x_t, t, s, key=None, **kwargs):
+        alpha_s, sigma_s = self.denoiser.schedule(s)
+        alpha_t, sigma_t = self.denoiser.schedule(t)
+
+        tau = 1 - (alpha_t / alpha_s * sigma_s / sigma_t) ** 2
+        tau = jnp.clip(self.eta * tau, min=0, max=1)
+
+        q_t = self.denoiser(x_t, t, **kwargs)
+
+        x_s = alpha_s * q_t.mean
+        x_s = x_s + sigma_s * jnp.sqrt(1 - tau) / sigma_t * (x_t - alpha_t * q_t.mean)
+        x_s = x_s + sigma_s * jnp.sqrt(tau) * self._noise(key, x_t)
+
+        return x_s
+
+
+class EulerSampler(Sampler):
+    r"""Creates an explicit Euler (1st order probability-flow ODE) sampler.
+
+    Reference: `azula/sample.py:264-303`.
+    """
+
+    def __init__(self, denoiser: Denoiser, **kwargs) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+
+    def step(self, x_t, t, s, key=None, **kwargs):
+        alpha_s, sigma_s = self.denoiser.schedule(s)
+        alpha_t, sigma_t = self.denoiser.schedule(t)
+
+        q_t = self.denoiser(x_t, t, **kwargs)
+        z_t = (x_t - alpha_t * q_t.mean) / sigma_t
+        x_s = (
+            alpha_s / alpha_t * x_t
+            + alpha_s * (sigma_s / alpha_s - sigma_t / alpha_t) * z_t
+        )
+
+        return x_s
+
+
+class HeunSampler(Sampler):
+    r"""Creates an explicit Heun (2nd order, two denoiser calls per step) sampler.
+
+    Reference: `azula/sample.py:306-352`.
+    """
+
+    def __init__(self, denoiser: Denoiser, **kwargs) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+
+    def step(self, x_t, t, s, key=None, **kwargs):
+        alpha_s, sigma_s = self.denoiser.schedule(s)
+        alpha_t, sigma_t = self.denoiser.schedule(t)
+
+        q_t = self.denoiser(x_t, t, **kwargs)
+        z_t = (x_t - alpha_t * q_t.mean) / sigma_t
+        x_s = (
+            alpha_s / alpha_t * x_t
+            + alpha_s * (sigma_s / alpha_s - sigma_t / alpha_t) * z_t
+        )
+
+        q_s = self.denoiser(x_s, s, **kwargs)
+        z_s = (x_s - alpha_s * q_s.mean) / sigma_s
+        z_t = (z_t + z_s) / 2
+        x_s = (
+            alpha_s / alpha_t * x_t
+            + alpha_s * (sigma_s / alpha_s - sigma_t / alpha_t) * z_t
+        )
+
+        return x_s
+
+
+class ItoSampler(Sampler):
+    r"""Creates an Itô SDE sampler with stochasticity :math:`\eta` and temperature
+    :math:`\tau`.
+
+    Reference: `azula/sample.py:355-431`.
+    """
+
+    def __init__(
+        self,
+        denoiser: Denoiser,
+        eta: float = 1.0,
+        temperature: float = 1.0,
+        **kwargs,
+    ) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+        self.eta = eta
+        self.temperature = temperature
+
+    @property
+    def requires_key(self) -> bool:
+        return self.eta > 0
+
+    def step(self, x_t, t, s, key=None, **kwargs):
+        alpha_s, sigma_s = self.denoiser.schedule(s)
+        alpha_t, sigma_t = self.denoiser.schedule(t)
+
+        q_t = self.denoiser(x_t, t, **kwargs)
+
+        x_s = alpha_s / alpha_t * x_t
+        x_s = x_s + (1 + self.eta**2) / self.temperature * (
+            sigma_s / sigma_t - alpha_s / alpha_t
+        ) * (x_t - alpha_t * q_t.mean)
+        x_s = x_s + self.eta * alpha_s * jnp.sqrt(
+            jnp.abs((sigma_t / alpha_t) ** 2 - (sigma_s / alpha_s) ** 2)
+        ) * self._noise(key, x_s)
+
+        return x_s
+
+
+def _ab_coefficients(u: np.ndarray, order: int, kind: str) -> np.ndarray:
+    r"""Precomputes (Exponential) Adams-Bashforth coefficient rows for every step.
+
+    Host-side NumPy float64 equivalent of the reference's per-step coefficient
+    solves (`azula/sample.py:485-508`, `654-685`, `767-794`, `887-912`), computed
+    once for the full timestep grid since they depend only on the timesteps.
+
+    Arguments:
+        u: The integration variable, with shape :math:`(T + 1,)`, float64.
+        order: The method order :math:`n`.
+        kind: One of `'poly'`, `'exp'`, `'exp_neg'`, `'rosenbrock'`.
+
+    Returns:
+        Coefficient rows, with shape :math:`(T, \text{order})`. Row :math:`i` is
+        zero-padded at the front; entry :math:`\text{order} - n + j` multiplies
+        the :math:`j`-th oldest of the last :math:`n` history entries.
+    """
+
+    T = len(u) - 1
+    table = np.zeros((T, order), dtype=np.float64)
+
+    for i in range(T):
+        n = min(order, i + 1)
+        k = np.arange(n)
+
+        # Vandermonde matrix u_i^k
+        V = u[i + 1 - n : i + 1] ** k[:, None]
+
+        if kind == "poly":
+            # Integral of v^k from u_i to u_{i+1}
+            b = u[i + 1] ** (k + 1) / (k + 1) - u[i] ** (k + 1) / (k + 1)
+        elif kind == "exp":
+            # Integral of exp(v) v^k from u_i to u_{i+1}
+            k_fact = np.cumprod(np.clip(k, 1, None))
+            b = (
+                (-1.0) ** k
+                * k_fact
+                * (
+                    np.exp(u[i + 1]) * np.cumsum((-u[i + 1]) ** k / k_fact)
+                    - np.exp(u[i]) * np.cumsum((-u[i]) ** k / k_fact)
+                )
+            )
+        elif kind == "exp_neg":
+            # Integral of exp(-v) v^k from u_i to u_{i+1}
+            k_fact = np.cumprod(np.clip(k, 1, None))
+            b = -k_fact * (
+                np.exp(-u[i + 1]) * np.cumsum(u[i + 1] ** k / k_fact)
+                - np.exp(-u[i]) * np.cumsum(u[i] ** k / k_fact)
+            )
+        elif kind == "rosenbrock":
+            # Integral of exp(v) / (1 + exp(2v)) v^k from u_i to u_{i+1}
+            v = np.linspace(u[i], u[i + 1], 256 + 1)
+            y = np.exp(v) / (1 + np.exp(2 * v)) * (v ** k[:, None])
+            b = np.trapezoid(y, v, axis=-1)
+        else:
+            raise ValueError(f"unknown coefficient kind '{kind}'")
+
+        table[i, order - n :] = np.linalg.solve(V, b)
+
+    return table
+
+
+class _MultistepSampler(Sampler):
+    r"""Shared machinery of the multistep (AB/EAB/REAB) samplers.
+
+    The reference's growing history deque (`sample.py:510-539`) becomes a
+    fixed-size scan carry of shape :math:`(\text{order}, *)`; the newest entry
+    sits at index :math:`\text{order} - 1`.
+    """
+
+    _kind: str
+
+    def __init__(self, denoiser: Denoiser, order: int = 2, **kwargs) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+        self.order = order
+
+    def _u(self, alpha: np.ndarray, sigma: np.ndarray) -> np.ndarray:
+        raise NotImplementedError()
+
+    def _derivative(self, x_t, mean, alpha_t, sigma_t):
+        raise NotImplementedError()
+
+    def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        raise NotImplementedError()
+
+    def _trajectory(self, x: Array, key: Array | None, **kwargs) -> Array:
+        # Host-side float64 coefficient precompute (see _ab_coefficients)
+        alpha_np, sigma_np = self.denoiser.schedule(self.timesteps_np)
+        table = _ab_coefficients(
+            self._u(alpha_np, sigma_np), self.order, self._kind
+        )
+        table = jnp.asarray(table, dtype=x.dtype)
+
+        time = self.timesteps.astype(x.dtype)
+        alpha, sigma = self.denoiser.schedule(time)
+        alpha = jnp.broadcast_to(jnp.asarray(alpha, x.dtype), time.shape)
+        sigma = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), time.shape)
+
+        history = jnp.zeros((self.order, *x.shape), dtype=x.dtype)
+
+        def body(carry, inp):
+            x_t, history = carry
+            t, alpha_t, sigma_t, alpha_s, sigma_s, coeffs = inp
+
+            q_t = self.denoiser(x_t, t, **kwargs)
+            d_t = self._derivative(x_t, q_t.mean, alpha_t, sigma_t)
+
+            history = jnp.roll(history, -1, axis=0).at[-1].set(d_t)
+            integral = jnp.tensordot(coeffs, history, axes=1)
+
+            x_s = self._update(x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s)
+
+            return (x_s, history), None
+
+        (x, _), _ = jax.lax.scan(
+            body,
+            (x, history),
+            (time[:-1], alpha[:-1], sigma[:-1], alpha[1:], sigma[1:], table),
+        )
+
+        return x
+
+
+class zABSampler(_MultistepSampler):
+    r"""Creates an Adams-Bashforth multistep sampler with noise (:math:`z`) prediction.
+
+    Equivalent to the k-diffusion LMS sampler. Reference: `azula/sample.py:434-539`.
+
+    Arguments:
+        denoiser: A denoiser :math:`q_\phi(X \mid X_t)`.
+        order: The order :math:`n` of the multistep method.
+    """
+
+    _kind = "poly"
+
+    def _u(self, alpha, sigma):
+        return sigma / alpha
+
+    def _derivative(self, x_t, mean, alpha_t, sigma_t):
+        return (x_t - alpha_t * mean) / sigma_t
+
+    def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        return alpha_s / alpha_t * x_t + alpha_s * integral
+
+
+class vABSampler(_MultistepSampler):
+    r"""Creates an Adams-Bashforth multistep sampler with velocity (:math:`v`) prediction.
+
+    Reference: `azula/sample.py:542-600`.
+    """
+
+    _kind = "poly"
+
+    def _u(self, alpha, sigma):
+        return sigma / (alpha + sigma)
+
+    def _derivative(self, x_t, mean, alpha_t, sigma_t):
+        return 1 / sigma_t * x_t - (1 + alpha_t / sigma_t) * mean
+
+    def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        return (alpha_s + sigma_s) / (alpha_t + sigma_t) * x_t + (
+            alpha_s + sigma_s
+        ) * integral
+
+
+class zEABSampler(_MultistepSampler):
+    r"""Creates an exponential Adams-Bashforth multistep sampler with noise
+    (:math:`z`) prediction — a multistep generalization of DPM-Solver.
+
+    Reference: `azula/sample.py:603-716`.
+    """
+
+    _kind = "exp"
+
+    def _u(self, alpha, sigma):
+        return np.log(sigma) - np.log(alpha)
+
+    def _derivative(self, x_t, mean, alpha_t, sigma_t):
+        return (x_t - alpha_t * mean) / sigma_t
+
+    def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        return alpha_s / alpha_t * x_t + alpha_s * integral
+
+
+class xEABSampler(_MultistepSampler):
+    r"""Creates an exponential Adams-Bashforth multistep sampler with data
+    (:math:`x`) prediction — a multistep generalization of DPM-Solver++.
+
+    Reference: `azula/sample.py:719-824`.
+    """
+
+    _kind = "exp_neg"
+
+    def _u(self, alpha, sigma):
+        return np.log(sigma) - np.log(alpha)
+
+    def _derivative(self, x_t, mean, alpha_t, sigma_t):
+        return mean
+
+    def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        return sigma_s / sigma_t * x_t - sigma_s * integral
+
+
+class REABSampler(_MultistepSampler):
+    r"""Creates a Rosenbrock-type exponential Adams-Bashforth multistep sampler —
+    a multistep generalization of DPM-Solver-v3.
+
+    Reference: `azula/sample.py:827-950`.
+    """
+
+    _kind = "rosenbrock"
+
+    def _u(self, alpha, sigma):
+        return np.log(sigma) - np.log(alpha)
+
+    def _derivative(self, x_t, mean, alpha_t, sigma_t):
+        a_t = sigma_t**2 / (alpha_t**2 + sigma_t**2)
+        b_t = sigma_t * jax.lax.rsqrt(alpha_t**2 + sigma_t**2)
+
+        return (1 - a_t) / b_t / alpha_t * x_t - 1 / b_t * mean
+
+    def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        # NOTE: the `alpha_s**2 + sigma_t**2` mix reproduces the reference
+        # (`azula/sample.py:944`) for numerical parity.
+        return (
+            jnp.sqrt((alpha_s**2 + sigma_s**2) / (alpha_t**2 + sigma_t**2)) * x_t
+            + jnp.sqrt(alpha_s**2 + sigma_t**2) * integral
+        )
+
+
+class PCSampler(Sampler):
+    r"""Creates a predictor-corrector sampler: ``corrections`` Langevin-like
+    corrector steps of amplitude :math:`\delta` followed by a DDIM-like predictor.
+
+    Reference: `azula/sample.py:953-993`.
+    """
+
+    def __init__(
+        self,
+        denoiser: Denoiser,
+        corrections: int = 1,
+        delta: float = 0.01,
+        **kwargs,
+    ) -> None:
+        super().__init__(**kwargs)
+
+        self.denoiser = denoiser
+        self.corrections = corrections
+        self.delta = delta
+
+    @property
+    def requires_key(self) -> bool:
+        return self.corrections > 0 and self.delta > 0
+
+    def step(self, x_t, t, s, key=None, **kwargs):
+        alpha_s, sigma_s = self.denoiser.schedule(s)
+        alpha_t, sigma_t = self.denoiser.schedule(t)
+
+        # Corrector
+        for j in range(self.corrections):
+            k = None if key is None else jax.random.fold_in(key, j)
+            q_t = self.denoiser(x_t, t, **kwargs)
+            x_t = (
+                alpha_t * q_t.mean
+                + math.sqrt(1 - self.delta) * (x_t - alpha_t * q_t.mean)
+                + math.sqrt(self.delta) * sigma_t * self._noise(k, x_t)
+            )
+
+        # Predictor
+        q_t = self.denoiser(x_t, t, **kwargs)
+        x_s = alpha_s * q_t.mean + sigma_s / sigma_t * (x_t - alpha_t * q_t.mean)
+
+        return x_s
