@@ -52,8 +52,8 @@ from .utils.pytree import combine, partition
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _call_jit(static, arrays, x, key, kwargs):
-    sampler = combine(arrays, static)
+def _call_jit(static, arrays, x, key):
+    sampler, kwargs = combine(arrays, static)
     return sampler._trajectory(x, key, **kwargs)
 
 
@@ -147,9 +147,11 @@ class Sampler(Module, abc.ABC):
                 f"{type(self).__name__} is stochastic: a PRNG `key` is required."
             )
 
-        arrays, static = partition(self)
+        # Arrays (parameters, array-valued conditioning) are traced; everything
+        # else (hyperparameters, string labels) is static.
+        arrays, static = partition((self, kwargs))
 
-        return _call_jit(static, arrays, x, key, kwargs)
+        return _call_jit(static, arrays, x, key)
 
     def _trajectory(self, x: Array, key: Array | None, **kwargs) -> Array:
         time = self.timesteps.astype(x.dtype)
