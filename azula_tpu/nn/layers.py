@@ -163,7 +163,7 @@ class Conv(Module):
         else:
             padding = list(self.padding)
 
-        chars = "".join(chr(ord("H") + i) for i in range(spatial))
+        chars = "XYZ"[:spatial]
         dn = jax.lax.conv_dimension_numbers(
             x.shape,
             self.weight.shape,
