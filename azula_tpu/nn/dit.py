@@ -27,6 +27,13 @@ from .attention import MultiheadSelfAttention
 from .layers import Dropout, Linear, RMSNorm, SineEncoding, relu2, swiglu
 from .module import Module
 
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "relu2": relu2,
+    "silu": jax.nn.silu,
+    "swiglu": swiglu,
+}
+
 
 class DiTAdaZero(Module):
     r"""AdaLN-Zero modulation head for token sequences
@@ -101,16 +108,12 @@ class DiTBlock(Module):
 
         self.msa = MultiheadSelfAttention(channels, dropout=dropout, key=msa_key, **kwargs)
 
-        if ffn_activation == "relu":
-            self.activation, activation_factor = jax.nn.relu, 1
-        elif ffn_activation == "relu2":
-            self.activation, activation_factor = relu2, 1
-        elif ffn_activation == "silu":
-            self.activation, activation_factor = jax.nn.silu, 1
-        elif ffn_activation == "swiglu":
-            self.activation, activation_factor = swiglu, 2
-        else:
+        if ffn_activation not in _ACTIVATIONS:
             raise NotImplementedError(f"Unknown activation '{ffn_activation}'.")
+
+        # Stored by name (a string static leaf) so modules stay valid jit arguments
+        self.ffn_activation = ffn_activation
+        activation_factor = 2 if ffn_activation == "swiglu" else 1
 
         self.ffn1 = Linear(channels, ffn_factor * channels, key=ffn1_key)
         self.ffn2 = Linear(ffn_factor * channels // activation_factor, channels, key=ffn2_key)
@@ -131,7 +134,7 @@ class DiTBlock(Module):
         y = (a + 1) * self.norm(x) + b
         y = y + self.msa(y, pos, mask, key=msa_key)
         y = self.ffn1(y)
-        y = self.activation(y)
+        y = _ACTIVATIONS[self.ffn_activation](y)
         if self.drop is not None:
             y = self.drop(y, ffn_key)
         y = self.ffn2(y)

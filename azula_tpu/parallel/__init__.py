@@ -14,3 +14,4 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .tp import DIT_TP_RULES, module_shardings, shard_module  # noqa: F401

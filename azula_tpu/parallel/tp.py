@@ -1,0 +1,86 @@
+r"""Tensor-parallel parameter sharding rules.
+
+First-class TPU-native component (SURVEY.md §2.8 — the reference has no TP).
+Parameters are annotated with :class:`jax.sharding.NamedSharding` over the
+`'model'` mesh axis; the XLA SPMD partitioner inserts the matching collectives
+in the jitted forward/backward. Megatron-style layout for transformer blocks:
+column-parallel QKV/FFN-in, row-parallel out-projections.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "DIT_TP_RULES",
+    "shard_module",
+    "module_shardings",
+]
+
+import jax
+import re
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.pytree import is_array
+from .mesh import replicated
+
+
+# (path regex, PartitionSpec) — first match wins. Megatron layout:
+# column-parallel first matmul (output dim sharded), row-parallel second
+# (input dim sharded), so each block needs one all-reduce in forward.
+DIT_TP_RULES = (
+    (r"\.msa\.qkv_proj\.weight$", P(None, "model")),
+    (r"\.msa\.qkv_proj\.bias$", P("model")),
+    (r"\.msa\.y_proj\.weight$", P("model", None)),
+    (r"\.ffn1\.weight$", P(None, "model")),
+    (r"\.ffn1\.bias$", P("model")),
+    (r"\.ffn2\.weight$", P("model", None)),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "name"):
+            parts.append(p.name)
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "key"):
+            parts.append(str(p.key))
+    return "." + ".".join(parts)
+
+
+def module_shardings(module, mesh: Mesh, rules=DIT_TP_RULES):
+    r"""Returns a pytree of shardings matching the module's structure.
+
+    Array leaves matching a rule get the rule's :class:`PartitionSpec` over the
+    mesh; everything else is replicated.
+    """
+
+    def spec_for(path, leaf):
+        if not is_array(leaf):
+            return None
+
+        name = _path_str(path)
+
+        for pattern, spec in rules:
+            if re.search(pattern, name):
+                return NamedSharding(mesh, spec)
+
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(spec_for, module)
+
+
+def shard_module(module, mesh: Mesh, rules=DIT_TP_RULES):
+    r"""Returns a copy of the module with parameters placed according to the
+    tensor-parallel rules. Compose with data parallelism by keeping the batch
+    axis of inputs sharded over `'data'` (see :func:`azula_tpu.parallel.shard_batch`)."""
+
+    shardings = module_shardings(module, mesh, rules)
+
+    def place(leaf, sharding):
+        if sharding is None:
+            return leaf
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(place, module, shardings)

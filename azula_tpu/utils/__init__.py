@@ -4,6 +4,7 @@ from .pytree import (  # noqa: F401
     PyTree,
     Static,
     combine,
+    filter_jit,
     is_array,
     load_state_dict,
     partition,

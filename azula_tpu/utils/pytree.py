@@ -17,6 +17,7 @@ __all__ = [
     "PyTree",
     "Static",
     "combine",
+    "filter_jit",
     "is_array",
     "partition",
     "state_dict",
@@ -130,6 +131,27 @@ def combine(arrays: list, static: Static) -> Any:
     leaves = [s if a is None else a for a, s in zip(arrays, static.leaves)]
 
     return jax.tree.unflatten(static.treedef, leaves)
+
+
+def filter_jit(fn):
+    r"""Like :func:`jax.jit`, but arguments may be arbitrary pytrees mixing
+    arrays and static values (e.g. :class:`PyTree` modules): array leaves are
+    traced, everything else becomes part of the (hashable) static cache key.
+    """
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def inner(static, arrays):
+        args, kwargs = combine(arrays, static)
+        return fn(*args, **kwargs)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        arrays, static = partition((args, kwargs))
+        return inner(static, arrays)
+
+    return wrapper
 
 
 def _key_str(entry: Any) -> str:

@@ -1,0 +1,140 @@
+r"""Tests for azula_tpu.parallel on the 8-virtual-device CPU mesh
+(SURVEY.md §4: multi-device tests via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from azula_tpu.denoise import KarrasDenoiser
+from azula_tpu.nn.dit import DiT
+from azula_tpu.nn.module import Module
+from azula_tpu.noise import RectifiedSchedule, VPSchedule
+from azula_tpu.parallel import make_mesh, shard_batch, shard_module
+from azula_tpu.sample import DDIMSampler
+from azula_tpu.train import make_train_step
+from azula_tpu.utils.pytree import partition
+
+from dummies import Dummy
+
+
+class TimeDiT(Module):
+    r"""Routes the denoiser's scalar time into the DiT's modulation features."""
+
+    def __init__(self, dit, mod_features: int) -> None:
+        from azula_tpu.nn.layers import SineEncoding
+
+        self.dit = dit
+        self.time_encoding = SineEncoding(mod_features)
+
+    def __call__(self, x_t, t, **kwargs):
+        mod = self.time_encoding(t)
+        if mod.ndim == 1:
+            mod = jnp.broadcast_to(mod, (x_t.shape[0], mod.shape[-1]))
+        return self.dit(x_t, mod=mod, **kwargs)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    ds = jax.devices()
+    if len(ds) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return ds
+
+
+def test_data_parallel_sampling(devices, key):
+    r"""Batch sampling shards over the data axis; outputs match the unsharded run."""
+
+    mesh = make_mesh()
+
+    denoiser = KarrasDenoiser(backbone=Dummy(5, key=key), schedule=VPSchedule())
+    sampler = DDIMSampler(denoiser, steps=8)
+
+    x1 = sampler.init(key, (16, 5))
+
+    x0_local = sampler(x1)
+    x0_sharded = sampler(shard_batch(x1, mesh))
+
+    assert jnp.allclose(x0_local, jax.device_get(x0_sharded), atol=1e-5)
+
+    # The output stayed distributed
+    assert len(x0_sharded.sharding.device_set) == 8
+
+
+def test_tensor_parallel_dit(devices, key):
+    r"""TP-sharded DiT matches the replicated forward."""
+
+    mesh = make_mesh(data=2, model=4)
+
+    k_model, k_x = jax.random.split(key)
+
+    dit = DiT(
+        in_channels=3,
+        out_channels=3,
+        mod_features=16,
+        hid_channels=32,
+        hid_blocks=2,
+        attention_heads=4,
+        key=k_model,
+    )
+
+    x = jax.random.normal(k_x, (8, 16, 3))
+    mod = jnp.ones((8, 16))
+
+    y_ref = dit(x, mod)
+
+    dit_tp = shard_module(dit, mesh)
+
+    from azula_tpu.utils.pytree import filter_jit
+
+    @filter_jit
+    def forward(dit, x, mod):
+        return dit(x, mod)
+
+    y_tp = forward(dit_tp, shard_batch(x, mesh), shard_batch(mod, mesh))
+
+    assert jnp.allclose(y_ref, jax.device_get(y_tp), atol=1e-4)
+
+
+def test_dp_tp_train_step(devices, key):
+    r"""A full train step compiles and runs under a (data=2, model=4) mesh with
+    dp batch sharding + tp parameter sharding."""
+
+    mesh = make_mesh(data=2, model=4)
+
+    k_model, k_x, k_t, k_z = jax.random.split(key, 4)
+
+    mod_features = 32
+
+    backbone = TimeDiT(
+        DiT(
+            in_channels=3,
+            out_channels=3,
+            mod_features=mod_features,
+            hid_channels=32,
+            hid_blocks=2,
+            attention_heads=4,
+            key=k_model,
+        ),
+        mod_features,
+    )
+
+    denoiser = KarrasDenoiser(backbone=backbone, schedule=RectifiedSchedule())
+
+    denoiser = shard_module(denoiser, mesh)
+    params, static = partition(denoiser)
+
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+
+    step = make_train_step(static, optimizer, donate=False)
+
+    x = shard_batch(jax.random.normal(k_x, (8, 16, 3)), mesh)
+    t = shard_batch(jax.random.uniform(k_t, (8,)), mesh)
+
+    losses = []
+    for i in range(2):
+        params, opt_state, loss = step(params, opt_state, x, t, jax.random.fold_in(k_z, i))
+        losses.append(loss)
+
+    assert all(jnp.isfinite(l) for l in losses)
