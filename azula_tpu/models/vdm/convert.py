@@ -1,0 +1,43 @@
+r"""PyTorch-to-JAX weight conversion for v-diffusion checkpoints.
+
+Because :class:`~azula_tpu.models.vdm.backbone.VDMUNet` mirrors the
+checkpoints' `net.*` Sequential indices exactly (parameter-free stages occupy
+their index as string opcodes), conversion is a uniform transform:
+
+- 4D conv weights permute `(out, in, kh, kw) -> (kh, kw, in, out)` (HWIO);
+- everything else (biases, Fourier features) passes through.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "convert_state_dict",
+]
+
+import numpy as np
+
+
+def _np(tensor) -> np.ndarray:
+    if isinstance(tensor, np.ndarray):
+        return tensor
+    return tensor.detach().cpu().numpy()
+
+
+def convert_state_dict(torch_sd) -> dict[str, np.ndarray]:
+    r"""Converts a v-diffusion checkpoint state dict to the backbone's format."""
+
+    out = {}
+
+    for name, tensor in torch_sd.items():
+        w = _np(tensor)
+
+        if w.ndim == 4:
+            w = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+        # GroupNorm affine weights (1D `.weight`) are named `scale` here
+        if name.endswith(".weight") and w.ndim == 1:
+            name = name[: -len(".weight")] + ".scale"
+
+        out[name] = w
+
+    return out
