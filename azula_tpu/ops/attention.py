@@ -132,7 +132,7 @@ def _use_pallas(q: Array, mask, dropout_rate: float) -> bool:
     L, D = q.shape[-2], q.shape[-1]
 
     # Lane/sublane alignment; small or ragged shapes fall back to XLA.
-    return L >= 128 and L % 128 == 0 and D % 128 == 0 and D <= 256
+    return L >= 128 and L % 128 == 0 and D % 64 == 0 and D <= 256
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
