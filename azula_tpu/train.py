@@ -11,6 +11,7 @@ from __future__ import annotations
 __all__ = [
     "TrainState",
     "make_train_step",
+    "ema_update",
 ]
 
 import jax
@@ -80,3 +81,14 @@ def make_train_step(static: Static, optimizer: Any, donate: bool = True):
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def ema_update(ema_params, params, rate: float = 0.999):
+    r"""Exponential-moving-average update of a parameter pytree.
+
+    Functional equivalent of the reference's vendored `update_ema`
+    (`azula/plugins/adm/_src/nn.py:42-52`):
+    :math:`\theta_\mathrm{ema} \gets r \, \theta_\mathrm{ema} + (1 - r) \, \theta`.
+    """
+
+    return jax.tree.map(lambda e, p: rate * e + (1 - rate) * p, ema_params, params)
