@@ -76,12 +76,18 @@ class VelocityDenoiser(Denoiser):
 
 
 def make_model(model: str = "imagenet_128", *, key: Array | None = None) -> VelocityDenoiser:
-    r"""Initializes a VDM denoiser from its declarative spec."""
+    r"""Initializes a VDM denoiser from its declarative spec (or the dedicated
+    CLIP-conditioned cc12m architecture)."""
 
     if key is None:
         key = jax.random.key(0)
 
-    backbone = VDMUNet(SPECS[model], key=key)
+    if model in ("cc12m_1", "cc12m_1_cfg"):
+        from .cc12m import CC12M1Model
+
+        backbone = CC12M1Model(key=key)
+    else:
+        backbone = VDMUNet(SPECS[model], key=key)
 
     return VelocityDenoiser(backbone)
 

@@ -34,6 +34,15 @@ def convert_state_dict(torch_sd) -> dict[str, np.ndarray]:
         if w.ndim == 4:
             w = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
+        # Linear weights transpose (out, in) -> (in, out); FourierFeatures
+        # weights keep their (out/2, in) layout (cc12m mapping/FiLM layers)
+        if (
+            w.ndim == 2
+            and name.endswith(".weight")
+            and not name.endswith("timestep_embed.weight")
+        ):
+            w = np.ascontiguousarray(w.T)
+
         # GroupNorm affine weights (1D `.weight`) are named `scale` here
         if name.endswith(".weight") and w.ndim == 1:
             name = name[: -len(".weight")] + ".scale"
