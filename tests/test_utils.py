@@ -1,0 +1,100 @@
+r"""Tests for checkpointing, profiling helpers and module utilities."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from azula_tpu.nn.embedding import Modulated, TimeEmbedding
+from azula_tpu.nn.layers import Linear
+from azula_tpu.nn.module import Module
+from azula_tpu.nn.utils import get_module_dtype, promote_dtype
+from azula_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_checkpoint_orbax,
+    save_checkpoint,
+    save_checkpoint_orbax,
+)
+from azula_tpu.utils.profiling import Throughput, annotate
+
+
+class Net(Module):
+    def __init__(self, key):
+        self.lin = Linear(4, 4, key=key)
+        self.rate = 0.5
+
+
+def test_npz_checkpoint_roundtrip(tmp_path, key):
+    net = Net(key)
+
+    save_checkpoint(tmp_path / "ckpt.npz", net)
+
+    other = Net(jax.random.key(9))
+    restored = load_checkpoint(tmp_path / "ckpt.npz", other)
+
+    assert jnp.allclose(restored.lin.weight, net.lin.weight)
+    assert restored.rate == 0.5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, key):
+    pytest.importorskip("orbax.checkpoint")
+
+    net = Net(key)
+
+    save_checkpoint_orbax(tmp_path / "orbax_ckpt", net)
+
+    other = Net(jax.random.key(9))
+    restored = load_checkpoint_orbax(tmp_path / "orbax_ckpt", other)
+
+    assert jnp.allclose(restored.lin.weight, net.lin.weight)
+
+
+def test_throughput_counter(key):
+    meter = Throughput()
+
+    x = jax.random.normal(key, (16, 4))
+    for _ in range(3):
+        meter.update(x * 2, items=16)
+
+    assert meter.items == 48
+    assert meter.rate() > 0
+
+
+def test_annotate():
+    with annotate("test-region"):
+        pass
+
+
+def test_get_module_dtype(key):
+    net = Net(key)
+    assert get_module_dtype(net) == jnp.float32
+    assert get_module_dtype(net.astype(jnp.bfloat16)) == jnp.bfloat16
+
+
+def test_promote_dtype():
+    @promote_dtype
+    def f(x):
+        return x * 2
+
+    y = f(jnp.ones(3, dtype=jnp.bfloat16))
+    assert y.dtype == jnp.bfloat16  # computed in f32, cast back
+
+
+def test_modulated_wrapper(key):
+    class Backbone(Module):
+        def __init__(self, key):
+            self.lin = Linear(4, 4, key=key)
+
+        def __call__(self, x, mod, **kwargs):
+            return self.lin(x) + mod
+
+    k1, k2 = jax.random.split(key)
+    wrapped = Modulated(Backbone(k1), mod_features=4, key=k2)
+
+    x = jnp.ones((2, 4))
+    t = jnp.asarray([0.1, 0.9])
+
+    out = wrapped(x, t)
+    assert out.shape == (2, 4)
+
+    emb = TimeEmbedding(8, key=key)(jnp.asarray(0.5))
+    assert emb.shape == (8,)
