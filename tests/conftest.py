@@ -17,7 +17,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# AZULA_ON_DEVICE=1 runs the suite on the real accelerator (e.g. for
+# tests/test_ops_tpu.py); the default is the 8-virtual-device CPU backend.
+if not os.environ.get("AZULA_ON_DEVICE"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,60 @@
+r"""On-TPU kernel tests (skipped on CPU): the Pallas flash-attention kernel
+matches the XLA reference path. The CPU suite exercises only the fallback, so
+run this file on a TPU host:
+
+.. code-block:: console
+
+    JAX_PLATFORMS='' python -m pytest tests/test_ops_tpu.py -q
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from azula_tpu.ops.attention import _use_pallas, _xla_attention, dot_product_attention
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a TPU backend"
+)
+
+
+@requires_tpu
+@pytest.mark.parametrize("L,D", [(128, 64), (256, 64), (1024, 128)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_flash_attention_matches_xla(L, D, dtype, key):
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H = 2, 4
+
+    q = jax.random.normal(k1, (B, H, L, D), dtype=dtype)
+    k = jax.random.normal(k2, (B, H, L, D), dtype=dtype)
+    v = jax.random.normal(k3, (B, H, L, D), dtype=dtype)
+
+    assert _use_pallas(q, None, 0.0)
+
+    out = dot_product_attention(q, k, v)
+    ref = _xla_attention(q, k, v)
+
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    assert jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))) < tol
+
+
+@requires_tpu
+def test_flash_attention_grads(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    q = jax.random.normal(k1, (1, 2, 128, 64))
+    k = jax.random.normal(k2, (1, 2, 128, 64))
+    v = jax.random.normal(k3, (1, 2, 128, 64))
+
+    def loss(q, k, v):
+        return jnp.sum(dot_product_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    refs = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    for g, r in zip(grads, refs):
+        assert jnp.max(jnp.abs(g - r)) < 1e-3
