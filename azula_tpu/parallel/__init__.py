@@ -14,4 +14,10 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
-from .tp import DIT_TP_RULES, module_shardings, shard_module  # noqa: F401
+from .tp import (  # noqa: F401
+    DIT_TP_RULES,
+    fsdp_shardings,
+    module_shardings,
+    shard_module,
+    shard_module_fsdp,
+)

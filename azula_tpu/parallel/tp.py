@@ -11,7 +11,9 @@ from __future__ import annotations
 
 __all__ = [
     "DIT_TP_RULES",
+    "fsdp_shardings",
     "shard_module",
+    "shard_module_fsdp",
     "module_shardings",
 ]
 
@@ -69,6 +71,55 @@ def module_shardings(module, mesh: Mesh, rules=DIT_TP_RULES):
         return replicated(mesh)
 
     return jax.tree_util.tree_map_with_path(spec_for, module)
+
+
+def fsdp_shardings(module, mesh: Mesh, axis: str = "data", min_size: int = 2**16):
+    r"""Returns ZeRO-3-style shardings: every large parameter is sharded along
+    its largest divisible dimension over the ``axis`` mesh axis; XLA inserts
+    the all-gathers in forward/backward and the reduce-scatter on gradients.
+
+    Arguments:
+        module: The module whose parameters to shard.
+        mesh: The device mesh.
+        axis: The mesh axis to shard over (usually the data axis).
+        min_size: Parameters smaller than this stay replicated.
+    """
+
+    n = mesh.shape[axis]
+
+    def spec_for(leaf):
+        if not is_array(leaf):
+            return None
+
+        if leaf.size < min_size:
+            return replicated(mesh)
+
+        # Shard the largest dimension divisible by the axis size
+        dims = sorted(
+            range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True
+        )
+        for d in dims:
+            if leaf.shape[d] % n == 0:
+                spec = [None] * leaf.ndim
+                spec[d] = axis
+                return NamedSharding(mesh, P(*spec))
+
+        return replicated(mesh)
+
+    return jax.tree.map(spec_for, module)
+
+
+def shard_module_fsdp(module, mesh: Mesh, axis: str = "data", min_size: int = 2**16):
+    r"""Places a module's parameters according to :func:`fsdp_shardings`."""
+
+    shardings = fsdp_shardings(module, mesh, axis=axis, min_size=min_size)
+
+    def place(leaf, sharding):
+        if sharding is None:
+            return leaf
+        return jax.device_put(leaf, sharding)
+
+    return jax.tree.map(place, module, shardings)
 
 
 def shard_module(module, mesh: Mesh, rules=DIT_TP_RULES):

@@ -96,6 +96,49 @@ def test_tensor_parallel_dit(devices, key):
     assert jnp.allclose(y_ref, jax.device_get(y_tp), atol=1e-4)
 
 
+def test_fsdp_forward(devices, key):
+    r"""FSDP-sharded (ZeRO-3-style) parameters produce the same forward."""
+
+    from azula_tpu.parallel import shard_module_fsdp
+
+    mesh = make_mesh()
+
+    k_model, k_x = jax.random.split(key)
+
+    dit = DiT(
+        in_channels=3,
+        out_channels=3,
+        hid_channels=64,
+        hid_blocks=2,
+        attention_heads=4,
+        key=k_model,
+    )
+
+    x = jax.random.normal(k_x, (8, 16, 3))
+
+    y_ref = dit(x)
+
+    dit_fsdp = shard_module_fsdp(dit, mesh, min_size=1024)
+
+    # Large parameters actually got distributed
+    n_sharded = sum(
+        1
+        for leaf in jax.tree.leaves(dit_fsdp)
+        if isinstance(leaf, jax.Array) and len(leaf.sharding.device_set) > 1
+    )
+    assert n_sharded > 0
+
+    from azula_tpu.utils.pytree import filter_jit
+
+    @filter_jit
+    def forward(dit, x):
+        return dit(x)
+
+    y = forward(dit_fsdp, shard_batch(x, mesh))
+
+    assert jnp.allclose(y_ref, jax.device_get(y), atol=1e-5)
+
+
 def test_dp_tp_train_step(devices, key):
     r"""A full train step compiles and runs under a (data=2, model=4) mesh with
     dp batch sharding + tp parameter sharding."""
