@@ -1,0 +1,114 @@
+r"""Ring attention — sequence-parallel attention over the device mesh.
+
+First-class TPU-native component with no reference equivalent (SURVEY.md §5.7
+documents sequence parallelism as the extension point once image token counts
+exceed one chip — e.g. video or >1K-resolution latents).
+
+Queries, keys and values are sharded along the *sequence* axis across devices;
+each device holds its query block and streams K/V blocks around the ring with
+`jax.lax.ppermute`, accumulating with an online softmax. Communication is
+overlapped by XLA and rides the ICI ring; memory per device is
+:math:`O(L_\mathrm{local})`.
+
+References:
+    | Ring Attention with Blockwise Transformers for Near-Infinite Context (Liu et al., 2023)
+    | https://arxiv.org/abs/2310.01889
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "ring_attention",
+]
+
+import functools
+import jax
+import jax.numpy as jnp
+import math
+
+from jax import Array
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _ring_body(axis_name: str, scale: float):
+    def local_attention(q: Array, k: Array, v: Array) -> Array:
+        n = jax.lax.psum(1, axis_name)
+
+        B, H, Lq, D = q.shape
+
+        qf = q.astype(jnp.float32) * scale
+
+        # Derive accumulators from q so they carry the shard_map axis-varying
+        # type of the inputs
+        m = jnp.full_like(qf[..., :1], -jnp.inf)
+        l = jnp.zeros_like(qf[..., :1])
+        o = jnp.zeros_like(qf)
+
+        def step(i, carry):
+            k_blk, v_blk, m, l, o = carry
+
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32)
+            )
+
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            corr = jnp.exp(m - m_new)
+
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            o = o * corr + jnp.einsum("bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32))
+
+            # Pass K/V to the next device in the ring
+            perm = [(j, (j + 1) % n) for j in range(n)]
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+            return k_blk, v_blk, m_new, l, o
+
+        _, _, _, l, o = jax.lax.fori_loop(0, n, step, (k, v, m, l, o))
+
+        return (o / l).astype(q.dtype)
+
+    return local_attention
+
+
+def ring_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    mesh: Mesh,
+    axis: str = "data",
+    scale: float | None = None,
+) -> Array:
+    r"""Computes exact attention with the sequence axis sharded over the mesh.
+
+    Arguments:
+        q: Queries, with shape :math:`(B, H, L, D)`; :math:`L` sharded over ``axis``.
+        k: Keys, same shape/sharding.
+        v: Values, same shape/sharding.
+        mesh: The device mesh.
+        axis: The mesh axis name carrying the sequence shards.
+        scale: Logit scale; defaults to :math:`1/\sqrt{D}`.
+
+    Returns:
+        The attention output, sequence-sharded like the inputs.
+    """
+
+    if scale is None:
+        scale = 1 / math.sqrt(q.shape[-1])
+
+    spec = P(None, None, axis, None)
+
+    fn = jax.shard_map(
+        _ring_body(axis, scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )
+
+    return fn(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _jit_ring(q, k, v, mesh, axis):
+    return ring_attention(q, k, v, mesh, axis)
