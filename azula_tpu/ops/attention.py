@@ -121,6 +121,109 @@ def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     return out.reshape(B, H, L, D)
 
 
+def _pallas_attention_blocked(q: Array, k: Array, v: Array, scale: float) -> Array:
+    r"""Flash attention with K/V blocking and online softmax, for sequences too
+    long to keep K/V resident in VMEM.
+
+    Grid is (B*H, L/BLOCK_Q, L/BLOCK_K) with the K dimension innermost and
+    sequential; the running max / denominator / output accumulator live in
+    VMEM scratch across K blocks and are finalized on the last block.
+    """
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    BLOCK_Q = min(512, L)
+    BLOCK_K = min(1024, L)
+
+    nq = pl.cdiv(L, BLOCK_Q)
+    nk = pl.cdiv(L, BLOCK_K)
+
+    qf = q.reshape(B * H, L, D)
+    kf = k.reshape(B * H, L, D)
+    vf = v.reshape(B * H, L, D)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+        kb = pl.program_id(2)
+
+        @pl.when(kb == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        qb = q_ref[0]
+        kb_ = k_ref[0]
+        vb = v_ref[0]
+
+        logits = jax.lax.dot_general(
+            qb,
+            kb_,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        corr = jnp.exp(m_prev - m_new)
+
+        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            p.astype(vb.dtype),
+            vb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+        @pl.when(kb == nk - 1)
+        def _():
+            o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            pltpu.VMEM((BLOCK_Q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * L * D,
+            bytes_accessed=4 * B * H * L * D * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(qf, kf, vf)
+
+    return out.reshape(B, H, L, D)
+
+
+# Above this sequence length, K/V no longer stay resident in VMEM and the
+# blocked online-softmax kernel takes over.
+_FULL_KV_MAX_L = 2048
+
+
 def _use_pallas(q: Array, mask, dropout_rate: float) -> bool:
     if mask is not None or dropout_rate > 0:
         return False
@@ -135,13 +238,20 @@ def _use_pallas(q: Array, mask, dropout_rate: float) -> bool:
     return L >= 128 and L % 128 == 0 and D % 64 == 0 and D <= 256
 
 
+def _pallas_dispatch(q, k, v, scale):
+    if q.shape[-2] > _FULL_KV_MAX_L:
+        return _pallas_attention_blocked(q, k, v, scale)
+    else:
+        return _pallas_attention(q, k, v, scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
-    return _pallas_attention(q, k, v, scale)
+    return _pallas_dispatch(q, k, v, scale)
 
 
 def _flash_fwd(q, k, v, scale):
-    return _pallas_attention(q, k, v, scale), (q, k, v)
+    return _pallas_dispatch(q, k, v, scale), (q, k, v)
 
 
 def _flash_bwd(scale, residuals, g):

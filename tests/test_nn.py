@@ -25,11 +25,20 @@ def _check_grads(module, forward):
         assert jnp.all(jnp.isfinite(g))
 
 
-@pytest.mark.parametrize("length", [15, 16])
-@pytest.mark.parametrize("mod_features", [0, 16])
-@pytest.mark.parametrize("dropout", [None, 0.1])
-@pytest.mark.parametrize("spatial", [1, 2])
-@pytest.mark.parametrize("checkpointing", [False, True])
+@pytest.mark.parametrize(
+    "length, mod_features, dropout, spatial, checkpointing",
+    [
+        # Odd/even lengths x conditioning x spatial rank (reference grid,
+        # tests/test_nn_unet.py), with checkpointing covered once
+        (15, 0, None, 1, False),
+        (15, 16, 0.1, 2, False),
+        (16, 0, 0.1, 1, False),
+        (16, 16, None, 2, False),
+        (15, 16, None, 1, False),
+        (16, 0, None, 2, False),
+        (16, 16, 0.1, 2, True),
+    ],
+)
 def test_UNet(length, mod_features, dropout, spatial, checkpointing, key):
     in_channels, out_channels, batch_size = 3, 5, 4
     k_model, k_x, k_mod, k_drop = jax.random.split(key, 4)
@@ -77,11 +86,16 @@ def test_UNet(length, mod_features, dropout, spatial, checkpointing, key):
     assert jnp.max(err) < 5e-1
 
 
-@pytest.mark.parametrize("mod_features", [0, 16])
-@pytest.mark.parametrize("pos_channels", [1, 2])
-@pytest.mark.parametrize("dropout", [None, 0.1])
-@pytest.mark.parametrize("rope", [False, True])
-@pytest.mark.parametrize("checkpointing", [False, True])
+@pytest.mark.parametrize(
+    "mod_features, pos_channels, dropout, rope, checkpointing",
+    [
+        (0, 1, None, False, False),
+        (16, 2, 0.1, True, False),
+        (16, 1, None, True, False),
+        (0, 2, 0.1, False, False),
+        (16, 2, None, False, True),
+    ],
+)
 def test_DiT(mod_features, pos_channels, dropout, rope, checkpointing, key):
     length, in_channels, out_channels, batch_size = 16, 3, 5, 4
     k_model, k_x, k_mod, k_pos, k_drop = jax.random.split(key, 5)

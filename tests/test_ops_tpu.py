@@ -19,7 +19,7 @@ requires_tpu = pytest.mark.skipif(
 
 
 @requires_tpu
-@pytest.mark.parametrize("L,D", [(128, 64), (256, 64), (1024, 128)])
+@pytest.mark.parametrize("L,D", [(128, 64), (256, 64), (1024, 128), (4096, 64)])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_flash_attention_matches_xla(L, D, dtype, key):
     k1, k2, k3 = jax.random.split(key, 3)
