@@ -35,7 +35,8 @@ def test_flash_attention_matches_xla(L, D, dtype, key):
     out = dot_product_attention(q, k, v)
     ref = _xla_attention(q, k, v)
 
-    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-4
+    # f32 tolerance grows with reduction length (accumulation-order noise)
+    tol = 2e-2 if dtype == jnp.bfloat16 else (1e-3 if L > 2048 else 2e-4)
     assert jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32))) < tol
 
 
