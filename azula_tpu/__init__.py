@@ -15,4 +15,16 @@ pretrained-model zoo — redesigned around JAX / XLA / Pallas / pjit:
 
 __version__ = "0.1.0"
 
-from . import denoise, guidance, linalg, nn, noise, ops, parallel, sample  # noqa: F401
+from . import (  # noqa: F401
+    debug,
+    denoise,
+    guidance,
+    hub,
+    linalg,
+    nn,
+    noise,
+    ops,
+    parallel,
+    sample,
+    train,
+)

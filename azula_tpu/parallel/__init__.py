@@ -14,6 +14,7 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .batch import sample_sharded  # noqa: F401
 from .ring import ring_attention  # noqa: F401
 from .tp import (  # noqa: F401
     DIT_TP_RULES,

@@ -96,6 +96,24 @@ def test_tensor_parallel_dit(devices, key):
     assert jnp.allclose(y_ref, jax.device_get(y_tp), atol=1e-4)
 
 
+def test_sample_sharded(devices, key):
+    r"""The north-star workload: batch sampling distributed over the data axis,
+    with batched conditioning sharded alongside."""
+
+    from azula_tpu.parallel import sample_sharded
+
+    mesh = make_mesh()
+
+    denoiser = KarrasDenoiser(backbone=Dummy(5, key=key), schedule=VPSchedule())
+    sampler = DDIMSampler(denoiser, steps=8)
+
+    x0 = sample_sharded(sampler, (16, 5), key, mesh)
+
+    assert x0.shape == (16, 5)
+    assert jnp.all(jnp.isfinite(x0))
+    assert len(x0.sharding.device_set) == 8
+
+
 def test_fsdp_forward(devices, key):
     r"""FSDP-sharded (ZeRO-3-style) parameters produce the same forward."""
 
