@@ -441,18 +441,34 @@ class _MultistepSampler(Sampler):
     def _u(self, alpha: np.ndarray, sigma: np.ndarray) -> np.ndarray:
         raise NotImplementedError()
 
+    def _integral_scale(self, alpha: np.ndarray, sigma: np.ndarray) -> np.ndarray:
+        r"""The per-step factor the update applies to the integral. Folded into
+        the float64 coefficient table on the host: the exponential-integrator
+        coefficients can reach :math:`e^{|u|} \sim 10^3` with heavy cancellation
+        before this factor shrinks them back, so the product must not pass
+        through float32 (the reference gets float64 here implicitly through
+        dtype promotion of its per-step solves, `sample.py:486`)."""
+
+        raise NotImplementedError()
+
     def _derivative(self, x_t, mean, alpha_t, sigma_t):
         raise NotImplementedError()
 
     def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
+        r"""`integral` arrives pre-multiplied by :meth:`_integral_scale`."""
+
         raise NotImplementedError()
 
     def _trajectory(self, x: Array, key: Array | None, **kwargs) -> Array:
         # Host-side float64 coefficient precompute (see _ab_coefficients)
         alpha_np, sigma_np = self.denoiser.schedule(self.timesteps_np)
+        alpha_np = np.broadcast_to(np.asarray(alpha_np, np.float64), self.timesteps_np.shape)
+        sigma_np = np.broadcast_to(np.asarray(sigma_np, np.float64), self.timesteps_np.shape)
+
         table = _ab_coefficients(
             self._u(alpha_np, sigma_np), self.order, self._kind
         )
+        table = table * self._integral_scale(alpha_np, sigma_np)[:, None]
         table = jnp.asarray(table, dtype=x.dtype)
 
         time = self.timesteps.astype(x.dtype)
@@ -500,11 +516,14 @@ class zABSampler(_MultistepSampler):
     def _u(self, alpha, sigma):
         return sigma / alpha
 
+    def _integral_scale(self, alpha, sigma):
+        return alpha[1:]
+
     def _derivative(self, x_t, mean, alpha_t, sigma_t):
         return (x_t - alpha_t * mean) / sigma_t
 
     def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
-        return alpha_s / alpha_t * x_t + alpha_s * integral
+        return alpha_s / alpha_t * x_t + integral
 
 
 class vABSampler(_MultistepSampler):
@@ -518,13 +537,14 @@ class vABSampler(_MultistepSampler):
     def _u(self, alpha, sigma):
         return sigma / (alpha + sigma)
 
+    def _integral_scale(self, alpha, sigma):
+        return alpha[1:] + sigma[1:]
+
     def _derivative(self, x_t, mean, alpha_t, sigma_t):
         return 1 / sigma_t * x_t - (1 + alpha_t / sigma_t) * mean
 
     def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
-        return (alpha_s + sigma_s) / (alpha_t + sigma_t) * x_t + (
-            alpha_s + sigma_s
-        ) * integral
+        return (alpha_s + sigma_s) / (alpha_t + sigma_t) * x_t + integral
 
 
 class zEABSampler(_MultistepSampler):
@@ -539,11 +559,14 @@ class zEABSampler(_MultistepSampler):
     def _u(self, alpha, sigma):
         return np.log(sigma) - np.log(alpha)
 
+    def _integral_scale(self, alpha, sigma):
+        return alpha[1:]
+
     def _derivative(self, x_t, mean, alpha_t, sigma_t):
         return (x_t - alpha_t * mean) / sigma_t
 
     def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
-        return alpha_s / alpha_t * x_t + alpha_s * integral
+        return alpha_s / alpha_t * x_t + integral
 
 
 class xEABSampler(_MultistepSampler):
@@ -558,11 +581,14 @@ class xEABSampler(_MultistepSampler):
     def _u(self, alpha, sigma):
         return np.log(sigma) - np.log(alpha)
 
+    def _integral_scale(self, alpha, sigma):
+        return -sigma[1:]
+
     def _derivative(self, x_t, mean, alpha_t, sigma_t):
         return mean
 
     def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
-        return sigma_s / sigma_t * x_t - sigma_s * integral
+        return sigma_s / sigma_t * x_t + integral
 
 
 class REABSampler(_MultistepSampler):
@@ -577,6 +603,11 @@ class REABSampler(_MultistepSampler):
     def _u(self, alpha, sigma):
         return np.log(sigma) - np.log(alpha)
 
+    def _integral_scale(self, alpha, sigma):
+        # NOTE: the `alpha_s**2 + sigma_t**2` mix reproduces the reference
+        # (`azula/sample.py:944`) for numerical parity.
+        return np.sqrt(alpha[1:] ** 2 + sigma[:-1] ** 2)
+
     def _derivative(self, x_t, mean, alpha_t, sigma_t):
         a_t = sigma_t**2 / (alpha_t**2 + sigma_t**2)
         b_t = sigma_t * jax.lax.rsqrt(alpha_t**2 + sigma_t**2)
@@ -584,11 +615,9 @@ class REABSampler(_MultistepSampler):
         return (1 - a_t) / b_t / alpha_t * x_t - 1 / b_t * mean
 
     def _update(self, x_t, integral, alpha_t, sigma_t, alpha_s, sigma_s):
-        # NOTE: the `alpha_s**2 + sigma_t**2` mix reproduces the reference
-        # (`azula/sample.py:944`) for numerical parity.
         return (
             jnp.sqrt((alpha_s**2 + sigma_s**2) / (alpha_t**2 + sigma_t**2)) * x_t
-            + jnp.sqrt(alpha_s**2 + sigma_t**2) * integral
+            + integral
         )
 
 
