@@ -48,6 +48,44 @@ def test_orbax_checkpoint_roundtrip(tmp_path, key):
     assert jnp.allclose(restored.lin.weight, net.lin.weight)
 
 
+def test_training_resume(tmp_path, key):
+    r"""Checkpoint/resume of the full training state (params + optimizer),
+    SURVEY §5.4: resumed training continues bit-identically."""
+
+    import optax
+
+    from azula_tpu.denoise import KarrasDenoiser
+    from azula_tpu.noise import VPSchedule
+    from azula_tpu.train import make_train_step
+    from azula_tpu.utils.pytree import partition
+
+    from dummies import Dummy
+
+    denoiser = KarrasDenoiser(backbone=Dummy(4, key=key), schedule=VPSchedule())
+    params, static = partition(denoiser)
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = make_train_step(static, optimizer, donate=False)
+
+    x = jax.random.normal(key, (8, 4))
+    t = jax.random.uniform(key, (8,))
+
+    params, opt_state, _ = step(params, opt_state, x, t, key)
+
+    save_checkpoint(tmp_path / "state.npz", (params, opt_state))
+
+    # Continue from memory vs continue from disk: identical
+    p_mem, o_mem, loss_mem = step(params, opt_state, x, t, key)
+
+    params2, opt_state2 = load_checkpoint(tmp_path / "state.npz", (params, opt_state))
+    p_disk, o_disk, loss_disk = step(params2, opt_state2, x, t, key)
+
+    assert float(loss_mem) == float(loss_disk)
+    for a, b in zip(jax.tree.leaves(p_mem), jax.tree.leaves(p_disk)):
+        assert jnp.array_equal(a, b)
+
+
 def test_throughput_counter(key):
     meter = Throughput()
 
