@@ -137,6 +137,25 @@ def test_sampling_is_deterministic_given_key(key):
     assert not jnp.allclose(sampler(x1, key=key), other)
 
 
+def test_split_trajectory_resumes(key):
+    r"""Sampling in two chunks over the same grid equals one full run —
+    deterministic reverse trajectories are checkpoint/resumable via start/stop
+    (SURVEY §5.3: step-checkpointed sampling state)."""
+
+    denoiser = KarrasDenoiser(backbone=Dummy(5, key=key), schedule=VPSchedule())
+
+    full = EulerSampler(denoiser, start=1.0, stop=0.0, steps=16)
+    first = EulerSampler(denoiser, start=1.0, stop=0.5, steps=8)
+    second = EulerSampler(denoiser, start=0.5, stop=0.0, steps=8)
+
+    x1 = full.init(key, (4, 5))
+
+    x0_full = full(x1)
+    x0_split = second(first(x1))
+
+    assert jnp.allclose(x0_full, x0_split, atol=1e-5)
+
+
 def test_partial_time_range(key):
     r"""Samplers support start/stop sub-ranges (reference Sampler config,
     `sample.py:69-94`)."""
