@@ -104,6 +104,12 @@ class TextEncoder(Module):
 
         embeds = self.clip(input_ids=tokens.input_ids)
 
+        # transformers models return an output object
+        if hasattr(embeds, "last_hidden_state"):
+            embeds = embeds.last_hidden_state
+        if hasattr(embeds, "detach"):  # torch tensor
+            embeds = embeds.detach().cpu().numpy()
+
         return {"prompt_embeds": jnp.asarray(embeds)}
 
 
