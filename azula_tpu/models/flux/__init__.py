@@ -111,9 +111,21 @@ class TextEncoder(Module):
             return_tensors="np",
         )
 
+        clip_out = self.clip(input_ids=clip_tokens.input_ids)
+        if hasattr(clip_out, "pooler_output"):  # transformers output object
+            clip_out = clip_out.pooler_output
+        if hasattr(clip_out, "detach"):
+            clip_out = clip_out.detach().cpu().numpy()
+
+        t5_out = self.t5(input_ids=t5_tokens.input_ids)
+        if hasattr(t5_out, "last_hidden_state"):
+            t5_out = t5_out.last_hidden_state
+        if hasattr(t5_out, "detach"):
+            t5_out = t5_out.detach().cpu().numpy()
+
         return {
-            "prompt_clip": jnp.asarray(self.clip(input_ids=clip_tokens.input_ids)),
-            "prompt_t5": jnp.asarray(self.t5(input_ids=t5_tokens.input_ids)),
+            "prompt_clip": jnp.asarray(clip_out),
+            "prompt_t5": jnp.asarray(t5_out),
         }
 
 

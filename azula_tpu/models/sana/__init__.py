@@ -110,6 +110,10 @@ class TextEncoder(Module):
         prompt_embeds = self.gemma(
             tokens.input_ids, attention_mask=tokens.attention_mask
         )
+        if hasattr(prompt_embeds, "last_hidden_state"):  # transformers output
+            prompt_embeds = prompt_embeds.last_hidden_state
+        if hasattr(prompt_embeds, "detach"):
+            prompt_embeds = prompt_embeds.detach().cpu().numpy()
         prompt_embeds = jnp.asarray(prompt_embeds)
         prompt_mask = jnp.asarray(tokens.attention_mask)
 
