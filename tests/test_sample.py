@@ -92,6 +92,8 @@ def test_stochastic_sampler_requires_key(key):
         functools.partial(DDPMSampler),
         functools.partial(DDIMSampler, eta=0.0),
         functools.partial(HeunSampler),
+        functools.partial(ItoSampler, eta=1.0),
+        functools.partial(PCSampler, corrections=1),
         functools.partial(zEABSampler, order=2),
         functools.partial(xEABSampler, order=2),
     ],
