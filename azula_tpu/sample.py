@@ -71,10 +71,17 @@ class Sampler(Module, abc.ABC):
 
     denoiser: Denoiser
 
-    def __init__(self, start: float = 1.0, stop: float = 0.0, steps: int = 64) -> None:
+    def __init__(
+        self,
+        start: float = 1.0,
+        stop: float = 0.0,
+        steps: int = 64,
+        progress: bool = False,
+    ) -> None:
         self.start = start
         self.stop = stop
         self.steps = steps
+        self.progress = progress
 
     @property
     def timesteps(self) -> Array:
@@ -160,6 +167,10 @@ class Sampler(Module, abc.ABC):
             i, t, s = inp
             k = None if key is None else jax.random.fold_in(key, i)
             x_s = self.step(x_t, t, s, key=k, **kwargs)
+            if self.progress:
+                # Host-side progress line (equivalent of the reference's tqdm
+                # bar, `sample.py:130-137`, from inside the compiled scan)
+                jax.debug.print("sampling step {i}/{n}", i=i + 1, n=self.steps)
             return x_s, None
 
         x, _ = jax.lax.scan(

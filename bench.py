@@ -33,27 +33,52 @@ import jax.numpy as jnp
 BASELINE_IMAGES_PER_SEC = 0.88
 
 
-def main() -> None:
+def _adm256(key):
     from azula_tpu.models.adm import make_model
     from azula_tpu.models.utils import load_cards
-    from azula_tpu.sample import DDIMSampler
 
     card = load_cards("azula_tpu.models.adm")["imagenet_256x256"]
+
+    denoiser = make_model(**card.config, key=key)
+    denoiser = denoiser.tree_replace(backbone=denoiser.backbone.astype(jnp.bfloat16))
+
+    return "adm_imagenet256_ddim64_sampling_throughput", denoiser, 8, (256, 256, 3), BASELINE_IMAGES_PER_SEC
+
+
+def _unet32(key):
+    from azula_tpu.denoise import KarrasDenoiser
+    from azula_tpu.nn.embedding import Modulated
+    from azula_tpu.nn.unet import UNet
+    from azula_tpu.noise import VPSchedule
+
+    k1, k2 = jax.random.split(key)
+
+    backbone = Modulated(
+        UNet(3, 3, mod_features=64, hid_channels=(64, 128, 256), hid_blocks=(3, 3, 3), key=k1),
+        64,
+        key=k2,
+    ).astype(jnp.bfloat16)
+
+    # A100-class estimate for this workload (see git history): ~590 img/s
+    return "unet32_ddim64_sampling_throughput", KarrasDenoiser(backbone, VPSchedule()), 256, (32, 32, 3), 590.0
+
+
+WORKLOADS = {"adm256": _adm256, "unet32": _unet32}
+
+
+def main(workload: str = "adm256") -> None:
+    from azula_tpu.sample import DDIMSampler
 
     key = jax.random.key(0)
     k_model, k_init = jax.random.split(key)
 
-    denoiser = make_model(**card.config, key=k_model)
-    denoiser = denoiser.tree_replace(
-        backbone=denoiser.backbone.astype(jnp.bfloat16)
-    )
+    metric, denoiser, batch, shape, baseline = WORKLOADS[workload](k_model)
 
-    batch = 8
     steps = 64
 
     sampler = DDIMSampler(denoiser, eta=0.0, steps=steps)
 
-    x1 = sampler.init(k_init, (batch, 256, 256, 3))
+    x1 = sampler.init(k_init, (batch, *shape))
 
     # Synchronize through a scalar fetch: on some remote-TPU transports
     # block_until_ready returns before execution completes.
@@ -81,14 +106,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "adm_imagenet256_ddim64_sampling_throughput",
+                "metric": metric,
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+                "vs_baseline": round(images_per_sec / baseline, 3),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "adm256")
