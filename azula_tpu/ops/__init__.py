@@ -9,6 +9,7 @@ cuDNN convs, `torch.compile`). Here the equivalents are first-party:
 - :func:`~azula_tpu.ops.norm.group_norm` / fused GroupNorm-SiLU.
 """
 
-from . import attention, norm  # noqa: F401
+from . import attention, conv, norm  # noqa: F401
 from .attention import dot_product_attention  # noqa: F401
+from .conv import conv3x3  # noqa: F401
 from .norm import group_norm  # noqa: F401

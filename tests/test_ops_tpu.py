@@ -41,6 +41,26 @@ def test_flash_attention_matches_xla(L, D, dtype, key):
 
 
 @requires_tpu
+@pytest.mark.parametrize("shape", [(2, 32, 32, 256, 256), (1, 64, 64, 128, 128)])
+def test_conv3x3_matches_xla(shape, key):
+    from azula_tpu.ops.conv import _xla_conv, can_use_conv3x3, conv3x3
+
+    B, H, W, C, K = shape
+    k1, k2 = jax.random.split(key)
+
+    x = jax.random.normal(k1, (B, H, W, C), dtype=jnp.bfloat16) * 0.1
+    w = jax.random.normal(k2, (3, 3, C, K), dtype=jnp.bfloat16) * 0.02
+
+    assert can_use_conv3x3(x.shape, w.shape, (1, 1), ((1, 1), (1, 1)), False)
+
+    out = conv3x3(x, w)
+    ref = _xla_conv(x, w)
+
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert err < 5e-3, err
+
+
+@requires_tpu
 def test_flash_attention_grads(key):
     k1, k2, k3 = jax.random.split(key, 3)
 
