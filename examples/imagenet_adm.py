@@ -35,15 +35,16 @@ def main():
 
     print("samples:", x0.shape, x0.dtype)
 
-    # Posterior sampling: inpaint the right half of an observed image
-    y = x0[:1]
-    mask = jnp.arange(256) < 128  # observe the left half
-
+    # Posterior sampling: inpaint the right half of an observed image.
+    # The cg/gmres solvers treat the LAST axis as the vector dimension, so the
+    # forward operator flattens its output (reference convention, y: (*, D)).
     def A(x):
-        return x[:, :, :128, :]
+        return x[:, :, :128, :].reshape(x.shape[0], -1)
+
+    y = A(x0[:1])
 
     guided = MMPSDenoiser(
-        denoiser, A(y), A, IsotropicCovariance(1e-3), iterations=2
+        denoiser, y, A, IsotropicCovariance(1e-3), iterations=2
     )
     guided_sampler = DDIMSampler(guided, eta=0.0, steps=64)
 
