@@ -7,11 +7,13 @@ of ~1000 FLOP/byte. This kernel keeps an input row-band resident in VMEM
 (TH·Wp, C) x (C, K) matmuls in float32 with lane-aligned rolls for the column
 shifts — zero patch materialization.
 
-Measured on v5e (bf16, B=8): 70.7 TFLOP/s at 256x256/C=256 vs XLA's 79.6;
-32.8-37.9 TFLOP/s (tied) at 32x32/C=1024. XLA therefore remains the layer
-default; the remaining gap is DMA/compute overlap (double buffering) and the
-final unaligned output slice — groundwork for a pipelined v2. Numerics are
-verified on-device against the XLA convolution (tests/test_ops_tpu.py).
+Measured on v5e (bf16, B=8): 70.2 TFLOP/s at 256x256/C=256 vs XLA's 78.4;
+tied (~34 vs ~36) at the smaller UNet levels. Grouping the nine rolls into two
+(per-dx accumulation) changed nothing, so the remaining ~10% gap is the
+non-overlapped band DMA (1.7us vs 12us compute per band: +14%) — double
+buffering would reach parity, not beat XLA, hence XLA remains the layer
+default. Numerics verified on-device against the XLA convolution
+(tests/test_ops_tpu.py).
 
 Forward-only (the benchmark-critical sampling path); gradients fall back to
 the XLA convolution through a custom VJP, like the flash-attention kernel.
@@ -80,22 +82,25 @@ def _pallas_conv3x3(x: Array, w: Array) -> Array:
         cp.start()
         cp.wait()
 
-        # Full-width matmuls; the dx shifts happen on the accumulator with
-        # lane-aligned rolls (wrap-around lands in the padding columns),
-        # avoiding unaligned sublane slices of the input.
-        acc = jnp.zeros((TH, Wp, TK), dtype=jnp.float32)
-
-        for dy in range(3):
-            rows = x_vmem[dy : dy + TH]  # leading-dim slice: no relayout
-            for dx in range(3):
+        # Full-width matmuls, accumulated per column tap so only TWO
+        # lane-aligned rolls realize the dx shifts (wrap-around lands in the
+        # padding columns); no unaligned sublane slices of the input.
+        def tap(dx):
+            acc = None
+            for dy in range(3):
+                rows = x_vmem[dy : dy + TH]  # leading-dim slice: no relayout
                 p = jax.lax.dot_general(
                     rows.reshape(TH * Wp, C),
                     w_ref[dy, dx],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).reshape(TH, Wp, TK)
+                )
+                acc = p if acc is None else acc + p
+            return acc.reshape(TH, Wp, TK)
 
-                acc = acc + pltpu.roll(p, shift=(1 - dx) % Wp, axis=1)
+        acc = tap(1)
+        acc = acc + pltpu.roll(tap(0), shift=1, axis=1)
+        acc = acc + pltpu.roll(tap(2), shift=Wp - 1, axis=1)
 
         o_ref[0] = acc[:, 1 : W + 1, :].astype(o_ref.dtype)
 
