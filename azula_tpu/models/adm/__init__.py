@@ -221,7 +221,11 @@ def load_model(name: str, dtype=None) -> AblatedDenoiser:
 
     state = torch.load(path, weights_only=True, map_location="cpu")
 
-    denoiser = make_model(**card.config)
+    # Skip-init: construct abstractly (no parameter allocation, reference
+    # `skip_init`, `adm/__init__.py:156-157`) and fill from the checkpoint
+    from ...utils.pytree import filter_eval_shape
+
+    denoiser = filter_eval_shape(make_model, **card.config)
 
     sd = convert_state_dict(denoiser.backbone, state)
     backbone = load_state_dict(denoiser.backbone, sd)
@@ -229,4 +233,14 @@ def load_model(name: str, dtype=None) -> AblatedDenoiser:
     if dtype is not None:
         backbone = backbone.astype(dtype)
 
-    return denoiser.tree_replace(backbone=backbone)
+    # The sigma table is not checkpoint data; rebuild it concretely
+    config = dict(card.config)
+    sigmas = jnp.asarray(
+        discrete_sigmas(
+            config.get("discrete_schedule", "linear"),
+            config.get("discrete_steps", 1000),
+        ),
+        dtype=jnp.float32,
+    )
+
+    return denoiser.tree_replace(backbone=backbone, sigmas=sigmas)

@@ -133,7 +133,10 @@ def load_model(name: str, ema: bool = True, dtype=None) -> JITDenoiser:
     state = state["model_ema1" if ema else "model"]
     state = {k.removeprefix("net."): v for k, v in state.items()}
 
-    denoiser = make_model(**card.config)
+    # Skip-init: abstract construction; RoPE tables are recomputed on the host
+    from ...utils.pytree import filter_eval_shape
+
+    denoiser = filter_eval_shape(make_model, **card.config)
 
     sd = convert_state_dict(denoiser.backbone, state)
     backbone = load_state_dict(denoiser.backbone, sd)

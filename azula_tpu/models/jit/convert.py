@@ -68,9 +68,17 @@ def convert_state_dict(backbone: JiT, torch_sd) -> dict[str, np.ndarray]:
     linear("final_linear", "final_layer.linear")
     linear("final_adaLN", "final_layer.adaLN_modulation.1")
 
-    # RoPE tables are non-persistent buffers in the checkpoint; keep the
-    # host-precomputed ones
-    out["rope.0"], out["rope.1"] = backbone.rope
-    out["rope_incontext.0"], out["rope_incontext.1"] = backbone.rope_incontext
+    # RoPE tables are non-persistent buffers in the checkpoint; recompute them
+    # on the host (works for abstract skip-init backbones too)
+    from .backbone import _axial_rope_tables
+
+    rows, head_dim = backbone.rope[0].shape
+    grid = int(round(rows**0.5))
+    cls = backbone.rope_incontext[0].shape[0] - rows
+
+    out["rope.0"], out["rope.1"] = _axial_rope_tables(head_dim, grid, 0)
+    out["rope_incontext.0"], out["rope_incontext.1"] = _axial_rope_tables(
+        head_dim, grid, cls
+    )
 
     return out

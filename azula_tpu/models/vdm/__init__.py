@@ -106,7 +106,10 @@ def load_model(name: str, dtype=None) -> VelocityDenoiser:
 
     state = torch.load(path, weights_only=True, map_location="cpu")
 
-    denoiser = make_model(**card.config)
+    # Skip-init: abstract construction, all leaves come from the checkpoint
+    from ...utils.pytree import filter_eval_shape
+
+    denoiser = filter_eval_shape(make_model, **card.config)
 
     sd = convert_state_dict(state)
     backbone = load_state_dict(denoiser.backbone, sd)

@@ -154,6 +154,26 @@ def filter_jit(fn):
     return wrapper
 
 
+def filter_eval_shape(fn, *args, **kwargs):
+    r"""Like :func:`jax.eval_shape`, but the result may be any pytree mixing
+    arrays and static values (e.g. a module): array leaves come back as
+    :class:`jax.ShapeDtypeStruct` with nothing allocated — the skip-init idiom
+    for constructing large models before loading converted checkpoints.
+    """
+
+    statics = []
+
+    def inner():
+        out = fn(*args, **kwargs)
+        arrays, static = partition(out)
+        statics.append(static)  # static leaves are plain Python values
+        return arrays
+
+    arrays = jax.eval_shape(inner)
+
+    return combine(arrays, statics[0])
+
+
 def _key_str(entry: Any) -> str:
     if isinstance(entry, GetAttrKey):
         return entry.name
@@ -186,12 +206,18 @@ def state_dict(tree: Any) -> dict[str, jax.Array]:
 
 
 def load_state_dict(tree: Any, sd: Mapping[str, Any], strict: bool = True) -> Any:
-    r"""Returns a copy of the pytree with array leaves replaced from a state dict."""
+    r"""Returns a copy of the pytree with array leaves replaced from a state dict.
+
+    Abstract trees work too: :class:`jax.ShapeDtypeStruct` leaves (e.g. from
+    constructing the module under :func:`jax.eval_shape`, the skip-init idiom)
+    are filled in from the state dict without ever allocating initial
+    parameters.
+    """
 
     used = set()
 
     def replace(path, leaf):
-        if not is_array(leaf):
+        if not (is_array(leaf) or isinstance(leaf, jax.ShapeDtypeStruct)):
             return leaf
 
         key = ".".join(_key_str(p) for p in path)
