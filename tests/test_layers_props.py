@@ -1,0 +1,114 @@
+r"""Property tests for layer options that the shape-grid tests don't exercise:
+periodic (circular) padding, identity initialization, GroupNorm statistics."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from azula_tpu.nn.layers import ConvNd, GroupNorm
+from azula_tpu.nn.unet import UNet
+from azula_tpu.ops.norm import group_norm_silu
+
+
+def test_periodic_conv_shift_equivariance(key):
+    r"""With circular padding, convolution commutes with circular shifts."""
+
+    k1, k2 = jax.random.split(key)
+
+    conv = ConvNd(4, 4, spatial=2, kernel_size=3, padding=1, periodic=True, key=k1)
+
+    x = jax.random.normal(k2, (2, 8, 8, 4))
+
+    shifted_then_conv = conv(jnp.roll(x, (3, 5), axis=(1, 2)))
+    conv_then_shifted = jnp.roll(conv(x), (3, 5), axis=(1, 2))
+
+    assert jnp.allclose(shifted_then_conv, conv_then_shifted, atol=1e-5)
+
+
+def test_periodic_unet_shift_equivariance(key):
+    r"""A fully periodic UNet is equivariant to circular shifts by the total
+    downsampling factor (reference periodic option, `azula/nn/unet.py:161`)."""
+
+    k1, k2 = jax.random.split(key)
+
+    unet = UNet(
+        in_channels=3,
+        out_channels=3,
+        hid_channels=(4, 8),
+        hid_blocks=(1, 1),
+        spatial=2,
+        periodic=True,
+        key=k1,
+    )
+
+    x = jax.random.normal(k2, (1, 16, 16, 3))
+
+    shift = (2, 4)  # multiples of the stride-2 downsampling
+    a = unet(jnp.roll(x, shift, axis=(1, 2)))
+    b = jnp.roll(unet(x), shift, axis=(1, 2))
+
+    assert jnp.allclose(a, b, atol=1e-4)
+
+
+def test_identity_init(key):
+    r"""identity_init makes the convolution a near-identity
+    (reference `azula/nn/layers.py:56-66`)."""
+
+    k1, k2 = jax.random.split(key)
+
+    conv = ConvNd(
+        4, 4, spatial=2, kernel_size=3, padding=1, identity_init=True, bias=False, key=k1
+    )
+
+    x = jax.random.normal(k2, (2, 8, 8, 4))
+    y = conv(x)
+
+    # Output is dominated by the identity tap (residual perturbation is 1e-2 scale)
+    assert jnp.max(jnp.abs(y - x)) < 0.5
+    corr = jnp.sum(x * y) / jnp.sqrt(jnp.sum(x**2) * jnp.sum(y**2))
+    assert corr > 0.95
+
+
+def test_group_norm_statistics(key):
+    r"""Group norm output has zero mean / unit variance per (batch, group)."""
+
+    x = 3.0 + 2.0 * jax.random.normal(key, (4, 8, 8, 32))
+
+    gn = GroupNorm(8, 32)
+    y = gn(x)
+
+    g = y.reshape(4, -1, 8, 4)
+    mean = g.mean(axis=(1, 3))
+    var = g.var(axis=(1, 3))
+
+    assert jnp.max(jnp.abs(mean)) < 1e-4
+    assert jnp.max(jnp.abs(var - 1)) < 1e-3
+
+
+def test_group_norm_silu_fusion(key):
+    r"""The fused GroupNorm-SiLU equals the unfused composition."""
+
+    x = jax.random.normal(key, (2, 4, 4, 16), dtype=jnp.bfloat16)
+
+    gn = GroupNorm(4, 16)
+    ref = jax.nn.silu(gn(x).astype(jnp.float32)).astype(jnp.bfloat16)
+    out = group_norm_silu(x, 4)
+
+    assert jnp.allclose(out.astype(jnp.float32), ref.astype(jnp.float32), atol=2e-2)
+
+
+@pytest.mark.parametrize("groups,channels", [(32, 256), (1, 16), (16, 16)])
+def test_group_norm_matches_reference_semantics(groups, channels, key):
+    r"""Channels-last group norm matches torch.nn.GroupNorm on NCHW data."""
+
+    torch = pytest.importorskip("torch")
+
+    x = jax.random.normal(key, (2, 4, 4, channels))
+
+    ours = GroupNorm(groups, channels)(x)
+
+    x_t = torch.as_tensor(jax.device_get(x)).permute(0, 3, 1, 2)
+    ref = torch.nn.functional.group_norm(x_t, min(groups, channels), eps=1e-5)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    assert jnp.allclose(ours, ref, atol=1e-5)
