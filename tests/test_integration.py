@@ -66,6 +66,61 @@ def test_adm_bf16_sampling(adm_denoiser, key):
     assert jnp.all(jnp.isfinite(x0))
 
 
+def test_unet_ddim_workload(key):
+    r"""BASELINE.md workload 2 shape: UNet denoiser on 3x32x32, DDIM sampling
+    as one compiled scan (tiny widths on CPU)."""
+
+    from azula_tpu.denoise import KarrasDenoiser
+    from azula_tpu.nn.embedding import Modulated
+    from azula_tpu.nn.unet import UNet
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    backbone = Modulated(
+        UNet(3, 3, mod_features=8, hid_channels=(4, 8), hid_blocks=(1, 1), key=k1),
+        mod_features=8,
+        key=k2,
+    )
+    denoiser = KarrasDenoiser(backbone, VPSchedule())
+
+    sampler = DDIMSampler(denoiser, steps=8)
+    x1 = sampler.init(k3, (2, 32, 32, 3))
+    x0 = sampler(x1)
+
+    assert x0.shape == (2, 32, 32, 3)
+    assert jnp.all(jnp.isfinite(x0))
+
+
+def test_attention_masks(key):
+    r"""Boolean and additive masks agree with manual masked attention."""
+
+    import numpy as np
+
+    from azula_tpu.ops.attention import dot_product_attention
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    q = jax.random.normal(k1, (1, 2, 6, 8))
+    k = jax.random.normal(k2, (1, 2, 6, 8))
+    v = jax.random.normal(k3, (1, 2, 6, 8))
+
+    causal = jnp.tril(jnp.ones((6, 6), dtype=bool))
+
+    out_bool = dot_product_attention(q, k, v, mask=causal)
+    out_add = dot_product_attention(
+        q, k, v, mask=jnp.where(causal, 0.0, -jnp.inf)
+    )
+
+    assert jnp.allclose(out_bool, out_add, atol=1e-6)
+
+    # Last query attends to everything; first only to itself
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(8)
+    w = jax.nn.softmax(jnp.where(causal, logits, -jnp.inf), axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+    assert jnp.allclose(out_bool, ref, atol=1e-5)
+
+
 def test_multistep_order_improves_accuracy(key):
     r"""Higher-order exponential AB samplers track the probability-flow ODE more
     accurately at few steps (checked against a near-exact 512-step Euler
