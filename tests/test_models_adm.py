@@ -83,31 +83,34 @@ def reference():
         sys.path.remove("/root/reference")
 
 
-@pytest.mark.parametrize("new_order", [False, True])
-def test_torch_parity(reference, new_order, key):
-    r"""The converted torch weights produce matching outputs (float32)."""
+VARIANTS = {
+    "legacy-order": dict(use_new_attention_order=False),  # noqa: C408
+    "new-order": dict(use_new_attention_order=True),  # noqa: C408
+    # Additive (non-FiLM) time conditioning + conv up/downsampling + num_heads
+    "additive-conv-resample": dict(  # noqa: C408
+        use_scale_shift_norm=False,
+        resblock_updown=False,
+        num_head_channels=-1,
+        num_heads=4,
+    ),
+}
+
+
+@pytest.mark.parametrize("variant", list(VARIANTS), ids=list(VARIANTS))
+def test_torch_parity(reference, variant, key):
+    r"""The converted torch weights produce matching outputs (float32), across
+    both attention orders and the additive-conditioning / conv-resample paths."""
 
     import torch
 
     torch.manual_seed(0)
 
-    ref = reference(
-        image_size=32,
-        in_channels=3,
-        model_channels=32,
-        out_channels=6,
-        num_res_blocks=1,
-        attention_resolutions={2},
-        channel_mult=(1, 2),
-        num_classes=10,
-        num_head_channels=16,
-        use_scale_shift_norm=True,
-        resblock_updown=True,
-        use_new_attention_order=new_order,
-    )
+    cfg = {**SMALL, **VARIANTS[variant]}
+
+    ref = reference(**cfg)  # the constructor kwargs match by name
     ref.eval()
 
-    ours = ADMUNet(**SMALL, use_new_attention_order=new_order, key=key)
+    ours = ADMUNet(**cfg, key=key)
     ours = load_state_dict(ours, convert_state_dict(ours, ref.state_dict()))
 
     x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
