@@ -204,6 +204,63 @@ def test_sana_parity(reference, key):
     )
 
 
+def test_vdm_wrapper_parity(reference, key):
+    r"""VelocityDenoiser preconditioning (the backbone itself is parity-tested
+    separately in test_models_vdm)."""
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        if "torchvision" not in sys.modules:
+            tv = types.ModuleType("torchvision")
+            tv_t = types.ModuleType("torchvision.transforms")
+            tv_f = types.ModuleType("torchvision.transforms.functional")
+            tv.transforms, tv_t.functional = tv_t, tv_f
+            sys.modules.update({
+                "torchvision": tv,
+                "torchvision.transforms": tv_t,
+                "torchvision.transforms.functional": tv_f,
+            })
+        from azula.plugins.vdm import VelocityDenoiser as RefVelocity
+    finally:
+        sys.path.remove("/root/reference")
+
+    from azula_tpu.models.vdm import VelocityDenoiser
+
+    class TorchBackbone(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.p = torch.nn.Parameter(torch.ones(1))
+
+        def forward(self, x, t, **kwargs):
+            return A * x + B_ * t.float()[:, None, None, None]
+
+    class JaxBackbone(Module):
+        def __init__(self):
+            self.w = jnp.ones(())
+
+        def __call__(self, x, t, **kwargs):
+            return A * x + B_ * t.astype(jnp.float32)[:, None, None, None]
+
+    theirs = RefVelocity(TorchBackbone()).eval()
+    ours = VelocityDenoiser(JaxBackbone())
+
+    x = _rand(key, (2, 3, 8, 8))
+    t = np.asarray([0.2, 0.85], dtype=np.float32)
+
+    with torch.no_grad():
+        ref_mean = theirs(torch.as_tensor(x), torch.as_tensor(t)).mean.numpy()
+
+    our_mean = ours(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(t)
+    ).mean
+
+    assert np.allclose(
+        np.transpose(ref_mean, (0, 2, 3, 1)), np.asarray(our_mean), atol=1e-4
+    )
+
+
 def test_edm_parity(reference, key):
     import torch
 
