@@ -145,6 +145,26 @@ def test_mmps_posterior_accuracy(problem, key):
     assert jnp.allclose(emp_var[OBSERVED:], 1.0, atol=0.35)
 
 
+def test_guidance_under_multistep_scan(problem, key):
+    r"""Guidance wrappers (vjp + solver closures) compose with the multistep
+    samplers' compiled scan and history carry."""
+
+    from azula_tpu.sample import zEABSampler
+
+    denoiser, A, y, var_y, _ = problem
+
+    guided = MMPSDenoiser(denoiser, y, A, IsotropicCovariance(var_y), iterations=2)
+    sampler = zEABSampler(guided, order=2, steps=16)
+
+    x1 = sampler.init(key, (8, CHANNELS))
+    x0 = sampler(x1)
+
+    assert jnp.all(jnp.isfinite(x0))
+
+    post = _posterior_mean(y, var_y)
+    assert jnp.allclose(x0.mean(axis=0)[:OBSERVED], post[:OBSERVED], atol=0.4)
+
+
 def test_dps_pgdm(problem, key):
     denoiser, A, y, var_y, _ = problem
 
