@@ -63,7 +63,24 @@ def _unet32(key):
     return "unet32_ddim64_sampling_throughput", KarrasDenoiser(backbone, VPSchedule()), 256, (32, 32, 3), 590.0
 
 
-WORKLOADS = {"adm256": _adm256, "unet32": _unet32}
+def _adm256_cfg(key):
+    r"""BASELINE workload 4: class-conditional ADM-256 with classifier-free
+    guidance (2 backbone calls per step)."""
+
+    from azula_tpu.guidance import CFGDenoiser
+    from azula_tpu.models.adm import make_model
+    from azula_tpu.models.utils import load_cards
+
+    card = load_cards("azula_tpu.models.adm")["imagenet_256x256_cond"]
+
+    denoiser = make_model(**card.config, key=key)
+    denoiser = denoiser.tree_replace(backbone=denoiser.backbone.astype(jnp.bfloat16))
+
+    # CFG halves images/sec at equal backbone throughput -> half the bar
+    return "adm256_cfg_ddim64_sampling_throughput", CFGDenoiser(denoiser), 8, (256, 256, 3), BASELINE_IMAGES_PER_SEC / 2
+
+
+WORKLOADS = {"adm256": _adm256, "adm256_cfg": _adm256_cfg, "unet32": _unet32}
 
 
 def main(workload: str = "adm256") -> None:
@@ -80,10 +97,20 @@ def main(workload: str = "adm256") -> None:
 
     x1 = sampler.init(k_init, (batch, *shape))
 
+    if workload == "adm256_cfg":
+        labels = jnp.arange(batch) % 1000
+        cond = dict(  # noqa: C408
+            positive={"label": labels},
+            negative={"label": jnp.zeros(batch, dtype=labels.dtype)},
+            guidance=1.5,
+        )
+    else:
+        cond = {}
+
     # Synchronize through a scalar fetch: on some remote-TPU transports
     # block_until_ready returns before execution completes.
     def run_sync():
-        return float(jnp.sum(sampler(x1)))
+        return float(jnp.sum(sampler(x1, **cond)))
 
     # Warmup (compile)
     run_sync()
