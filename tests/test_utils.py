@@ -48,6 +48,39 @@ def test_orbax_checkpoint_roundtrip(tmp_path, key):
     assert jnp.allclose(restored.lin.weight, net.lin.weight)
 
 
+def test_train_state(key):
+    r"""TrainState bundles params/optimizer state and reassembles the denoiser."""
+
+    import optax
+
+    from azula_tpu.denoise import KarrasDenoiser
+    from azula_tpu.noise import VPSchedule
+    from azula_tpu.train import TrainState
+
+    from dummies import Dummy
+
+    denoiser = KarrasDenoiser(backbone=Dummy(4, key=key), schedule=VPSchedule())
+
+    state = TrainState(denoiser, optax.adam(1e-3))
+
+    assert state.step == 0
+
+    rebuilt = state.denoiser
+    x = jnp.ones((2, 4))
+    t = jnp.full((2,), 0.5)
+
+    assert jnp.allclose(rebuilt(x, t).mean, denoiser(x, t).mean)
+
+    # TrainState is itself a pytree whose dynamic side is the arrays
+    from azula_tpu.utils.pytree import combine, partition
+
+    arrays, static = partition(state)
+    assert hash(static) == hash(partition(TrainState(denoiser, optax.adam(1e-3)))[1])
+
+    state2 = combine(arrays, static)
+    assert jnp.allclose(state2.denoiser(x, t).mean, denoiser(x, t).mean)
+
+
 def test_training_resume(tmp_path, key):
     r"""Checkpoint/resume of the full training state (params + optimizer),
     SURVEY §5.4: resumed training continues bit-identically."""
