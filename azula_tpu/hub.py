@@ -84,7 +84,9 @@ def download(
 
     if not target.exists():
         if not quiet:
-            print(f"Downloading {url} to {target}", file=sys.stderr)
+            from .utils.logging import get_logger
+
+            get_logger("azula_tpu.hub").info("downloading %s to %s", url, target)
 
         tmp = target.with_suffix(target.suffix + ".part")
 
