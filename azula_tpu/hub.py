@@ -18,7 +18,6 @@ import hashlib
 import os
 import re
 import shutil
-import sys
 import tarfile
 import urllib.parse
 import urllib.request
