@@ -7,11 +7,10 @@ of ~1000 FLOP/byte. This kernel keeps an input row-band resident in VMEM
 (TH·Wp, C) x (C, K) matmuls in float32 with lane-aligned rolls for the column
 shifts — zero patch materialization.
 
-Measured on v5e (bf16, B=8): 70.2 TFLOP/s at 256x256/C=256 vs XLA's 78.4;
-tied (~34 vs ~36) at the smaller UNet levels. Grouping the nine rolls into two
-(per-dx accumulation) changed nothing, so the remaining ~10% gap is the
-non-overlapped band DMA (1.7us vs 12us compute per band: +14%) — double
-buffering would reach parity, not beat XLA, hence XLA remains the layer
+Measured on v5e (bf16, B=8), with double-buffered band DMA: 79.9 TFLOP/s at
+256x256/C=256 vs XLA's 80.9 (parity; the non-buffered version measured 70.7,
+confirming DMA overlap was the gap); XLA stays ahead at the small-spatial
+levels (32.7 vs 36.8 at 32x32/C=1024). XLA therefore remains the layer
 default. Numerics verified on-device against the XLA convolution
 (tests/test_ops_tpu.py).
 
@@ -72,15 +71,32 @@ def _pallas_conv3x3(x: Array, w: Array) -> Array:
     def kernel(x_hbm, w_ref, o_ref, x_vmem, sem):
         b = pl.program_id(0)
         i = pl.program_id(1)
+        j = pl.program_id(2)
 
-        # DMA the (TH + 2)-row band into VMEM
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * TH, TH + 2)],
-            x_vmem,
-            sem,
-        )
-        cp.start()
-        cp.wait()
+        # Double-buffered row-band DMA: program (b, i) computes from slot i%2
+        # while the next band streams into the other slot.
+        def dma(bb, ii, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(ii * TH, TH + 2)],
+                x_vmem.at[slot],
+                sem.at[slot],
+            )
+
+        p = b * nh + i
+        slot = p % 2  # global parity: safe across batch boundaries
+
+        @pl.when(jnp.logical_and(p == 0, j == 0))
+        def _():
+            dma(b, i, slot).start()
+
+        @pl.when(jnp.logical_and(p + 1 < B * nh, j == 0))
+        def _():
+            nxt = p + 1
+            dma(nxt // nh, nxt % nh, nxt % 2).start()
+
+        @pl.when(j == 0)
+        def _():
+            dma(b, i, slot).wait()
 
         # Full-width matmuls, accumulated per column tap so only TWO
         # lane-aligned rolls realize the dx shifts (wrap-around lands in the
@@ -88,7 +104,7 @@ def _pallas_conv3x3(x: Array, w: Array) -> Array:
         def tap(dx):
             acc = None
             for dy in range(3):
-                rows = x_vmem[dy : dy + TH]  # leading-dim slice: no relayout
+                rows = x_vmem[slot, dy : dy + TH]  # leading-dim slice: no relayout
                 p = jax.lax.dot_general(
                     rows.reshape(TH * Wp, C),
                     w_ref[dy, dx],
@@ -118,8 +134,8 @@ def _pallas_conv3x3(x: Array, w: Array) -> Array:
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, K), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2, Wp, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TH + 2, Wp, C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * K * 9,
