@@ -23,6 +23,7 @@ __all__ = [
     "TextEncoder",
     "StableDenoiser",
     "sd_sigmas",
+    "make_backbone",
     "load_model",
 ]
 
@@ -202,23 +203,119 @@ class StableDenoiser(Denoiser):
         return DiracPosterior(mean=mean)
 
 
-def load_model(name: str, **kwargs):
-    r"""Loads a pretrained SD denoiser by converting the diffusers pipeline.
+# Architecture hyperparameters of the two SD checkpoint generations. The
+# reference gets these from the diffusers pipeline config
+# (`sd/__init__.py:240-252`); they are fixed per generation, so the native
+# loader carries them directly.
+ARCHS = {
+    "sd1": dict(  # noqa: C408
+        unet=dict(  # noqa: C408
+            cross_attention_dim=768,
+            attention_head_dim=8,
+            use_linear_projection=False,
+        ),
+        clip=dict(hidden=768, layers=12, heads=12, intermediate=3072, act="quick_gelu"),  # noqa: C408
+        scale=0.18215,
+    ),
+    "sd2": dict(  # noqa: C408
+        unet=dict(  # noqa: C408
+            cross_attention_dim=1024,
+            attention_head_dim=(5, 10, 20, 20),
+            use_linear_projection=True,
+        ),
+        clip=dict(hidden=1024, layers=23, heads=16, intermediate=4096, act="gelu"),  # noqa: C408
+        scale=0.18215,
+    ),
+}
 
-    Requires the optional `diffusers` dependency (as in the reference).
+
+def _arch(name: str) -> dict:
+    return ARCHS["sd2" if name.startswith("sd_2") else "sd1"]
+
+
+def make_backbone(name: str = "sd_1.5", *, key: Array | None = None):
+    r"""Initializes the native SD UNet matching a checkpoint generation.
+
+    Arguments:
+        name: A card name (`'sd_1.5'`, `'sd_2'`, ...) or generation (`'sd1'`/`'sd2'`).
+        key: PRNG key for initialization.
     """
 
+    from .backbone import SDUNet
+
+    if key is None:
+        key = jax.random.key(0)
+
+    arch = ARCHS[name] if name in ARCHS else _arch(name)
+
+    return SDUNet(**arch["unet"], key=key)
+
+
+def _hub_file(repo: str, sub: str) -> str:
+    from ...hub import download
+
+    return download(f"https://huggingface.co/{repo}/resolve/main/{sub}")
+
+
+def load_model(name: str, dtype=jnp.bfloat16):
+    r"""Loads a pretrained SD denoiser with native JAX backbones
+    (reference `sd/__init__.py:226-273`, minus the diffusers dependency).
+
+    Downloads the UNet/VAE/CLIP safetensors from the checkpoint repository,
+    converts them to the native channels-last modules, and returns the same
+    triple as the reference.
+
+    Arguments:
+        name: The pretrained model name (see `cards.yaml`).
+        dtype: The backbone dtype (bfloat16 is TPU-native; the checkpoints
+            ship float16).
+
+    Returns:
+        A `(denoiser, autoencoder, textencoder)` triple.
+    """
+
+    from safetensors import numpy as st
+
+    from ...utils.pytree import filter_eval_shape, load_state_dict
+    from ..autoencoder import AutoencoderKL, convert_vae_state_dict
+    from ..clip import CLIPTextEncoder, convert_clip_state_dict
+    from .backbone import SDUNet
+    from .convert import convert_unet_state_dict
+
     card = load_cards(__name__)[name]
+    arch = _arch(name)
+    variant = f".{card.variant}" if getattr(card, "variant", None) else ""
 
-    try:
-        import diffusers  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "loading pretrained Stable Diffusion checkpoints requires the "
-            "optional `diffusers` dependency (pip install diffusers transformers)"
-        ) from e
-
-    raise NotImplementedError(
-        f"native conversion of '{card.repo}' is not wired up yet; construct a "
-        "StableDenoiser around a converted or native backbone instead"
+    # UNet
+    unet_sd = st.load_file(
+        _hub_file(card.repo, f"unet/diffusion_pytorch_model{variant}.safetensors")
     )
+    unet = filter_eval_shape(SDUNet, **arch["unet"], key=jax.random.key(0))
+    unet = load_state_dict(unet, convert_unet_state_dict(unet, unet_sd))
+    unet = unet.astype(dtype)
+
+    denoiser = StableDenoiser(backbone=unet, **card.config)
+
+    # VAE
+    vae_sd = st.load_file(
+        _hub_file(card.repo, f"vae/diffusion_pytorch_model{variant}.safetensors")
+    )
+    vae = filter_eval_shape(AutoencoderKL, key=jax.random.key(0))
+    vae = load_state_dict(vae, convert_vae_state_dict(vae, vae_sd))
+    autoencoder = AutoEncoder(vae=vae.astype(dtype), scale=arch["scale"])
+
+    # Text encoder
+    clip_sd = st.load_file(_hub_file(card.repo, f"text_encoder/model{variant}.safetensors"))
+    clip = filter_eval_shape(CLIPTextEncoder, **arch["clip"], key=jax.random.key(0))
+    clip = load_state_dict(clip, convert_clip_state_dict(clip, clip_sd))
+
+    from transformers import CLIPTokenizer
+
+    tokenizer = CLIPTokenizer(
+        vocab_file=_hub_file(card.repo, "tokenizer/vocab.json"),
+        merges_file=_hub_file(card.repo, "tokenizer/merges.txt"),
+    )
+
+    textencoder = TextEncoder(clip=clip.astype(dtype), tokenizer=tokenizer)
+
+    return denoiser, autoencoder, textencoder
