@@ -117,10 +117,13 @@ class Converter:
         elif isinstance(mod, (list, tuple)):
             for i, sub in enumerate(mod):
                 self._walk(sub, self._join(ours, str(i)), self._join(theirs, str(i)))
+        elif isinstance(mod, dict):
+            for name, sub in mod.items():
+                self._walk(sub, self._join(ours, name), self._join(theirs, name))
         elif isinstance(mod, Module):
             tname = type(mod).__name__
             for attr, sub in vars(mod).items():
-                if sub is None or not isinstance(sub, (list, tuple, Module)):
+                if sub is None or not isinstance(sub, (list, tuple, dict, Module)):
                     continue
                 t_attr = self.renames.get((tname, attr), attr)
                 self._walk(sub, self._join(ours, attr), self._join(theirs, t_attr))

@@ -88,26 +88,30 @@ class ElucidatedDenoiser(Denoiser):
         return DiracPosterior(mean=mean)
 
 
-def load_model(name: str) -> ElucidatedDenoiser:
-    r"""Loads a pretrained EDM denoiser.
+def load_model(name: str, dtype=None) -> ElucidatedDenoiser:
+    r"""Loads a pretrained EDM denoiser with a native JAX backbone.
 
-    Requires `torch` and the external `NVlabs/edm` repository on the Python
-    path to unpickle the checkpoint module (same constraint as the reference).
+    The NVlabs pickle is read with a stub module namespace — no NVlabs source
+    tree needed, torch only for tensor storages at conversion time
+    (:mod:`azula_tpu.models.edm.convert`). The architecture hyperparameters
+    come from the pickle itself. Reference behavior:
+    `azula/plugins/edm/__init__.py:133-153` (which returns the raw torch
+    module; here it is converted to a jittable channels-last module).
+
+    Arguments:
+        name: The pretrained model name (see `cards.yaml`).
+        dtype: Optional dtype to cast the backbone to (e.g. `jnp.bfloat16`).
     """
 
-    import pickle
+    from .convert import build_from_pickle
 
     card = load_cards(__name__)[name]
 
     path = download(card.url, hash_prefix=card.hash)
 
-    try:
-        with open(path, "rb") as f:
-            content = pickle.load(f)
-    except ModuleNotFoundError as e:
-        raise RuntimeError(
-            "EDM checkpoints are pickled torch modules; clone NVlabs/edm and "
-            "add it to your Python path before loading (see module docstring)."
-        ) from e
+    backbone = build_from_pickle(path)
 
-    return ElucidatedDenoiser(backbone=content["ema"])
+    if dtype is not None:
+        backbone = backbone.astype(dtype)
+
+    return ElucidatedDenoiser(backbone=backbone)

@@ -1,0 +1,426 @@
+r"""PyTorch twin of the NVlabs/edm networks (SongUNet, DhariwalUNet, preconds).
+
+State-dict names match the NVlabs checkpoints exactly (`enc.32x32_block0...`,
+`resample_filter` buffers). Also provides `fake_nvlabs_pickle`, which
+serializes a twin in the `torch_utils.persistence` format so the production
+pickle-extraction path (`azula_tpu.models.edm.convert`) is exercised end to
+end without the NVlabs repository or network.
+"""
+
+import math
+import numpy as np
+import pickle
+import sys
+import types
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def _norm(ch, eps):
+    return nn.GroupNorm(min(32, ch // 4), ch, eps=eps)
+
+
+class Conv2d(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel, bias=True, up=False,
+                 down=False, resample_filter=(1, 1), fused_resample=False):
+        super().__init__()
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.up, self.down, self.fused_resample = up, down, fused_resample
+        self.weight = nn.Parameter(torch.randn(out_channels, in_channels, kernel, kernel) * 0.1) if kernel else None
+        self.bias = nn.Parameter(torch.zeros(out_channels)) if kernel and bias else None
+        f = torch.as_tensor(resample_filter, dtype=torch.float32)
+        f = f.ger(f).unsqueeze(0).unsqueeze(1) / f.sum().square()
+        self.register_buffer("resample_filter", f)
+
+    def forward(self, x):
+        w = self.weight
+        b = self.bias
+        f = self.resample_filter
+        w_pad = w.shape[-1] // 2 if w is not None else 0
+        f_pad = (f.shape[-1] - 1) // 2
+
+        if self.fused_resample and self.up and w is not None:
+            x = F.conv_transpose2d(x, f.mul(4).tile([self.in_channels, 1, 1, 1]),
+                                   groups=self.in_channels, stride=2,
+                                   padding=max(f_pad - w_pad, 0))
+            x = F.conv2d(x, w, padding=max(w_pad - f_pad, 0))
+        elif self.fused_resample and self.down and w is not None:
+            x = F.conv2d(x, w, padding=w_pad + f_pad)
+            x = F.conv2d(x, f.tile([self.out_channels, 1, 1, 1]),
+                         groups=self.out_channels, stride=2)
+        else:
+            if self.up:
+                x = F.conv_transpose2d(x, f.mul(4).tile([self.in_channels, 1, 1, 1]),
+                                       groups=self.in_channels, stride=2, padding=f_pad)
+            if self.down:
+                x = F.conv2d(x, f.tile([self.in_channels, 1, 1, 1]),
+                             groups=self.in_channels, stride=2, padding=f_pad)
+            if w is not None:
+                x = F.conv2d(x, w, padding=w_pad)
+        if b is not None:
+            x = x.add_(b.reshape(1, -1, 1, 1))
+        return x
+
+
+class PositionalEmbedding(nn.Module):
+    def __init__(self, num_channels, max_positions=10000, endpoint=False):
+        super().__init__()
+        self.num_channels, self.max_positions, self.endpoint = num_channels, max_positions, endpoint
+
+    def forward(self, x):
+        freqs = torch.arange(self.num_channels // 2, dtype=torch.float32)
+        freqs = freqs / (self.num_channels // 2 - (1 if self.endpoint else 0))
+        freqs = (1 / self.max_positions) ** freqs
+        x = x.float().ger(freqs)
+        return torch.cat([x.cos(), x.sin()], dim=1)
+
+
+class FourierEmbedding(nn.Module):
+    def __init__(self, num_channels, scale=16):
+        super().__init__()
+        self.register_buffer("freqs", torch.randn(num_channels // 2) * scale)
+
+    def forward(self, x):
+        x = x.float().ger((2 * np.pi * self.freqs))
+        return torch.cat([x.cos(), x.sin()], dim=1)
+
+
+class Linear(nn.Module):
+    def __init__(self, in_features, out_features, bias=True):
+        super().__init__()
+        self.weight = nn.Parameter(torch.randn(out_features, in_features) * 0.1)
+        self.bias = nn.Parameter(torch.zeros(out_features)) if bias else None
+
+    def forward(self, x):
+        x = x @ self.weight.t()
+        if self.bias is not None:
+            x = x + self.bias
+        return x
+
+
+class UNetBlock(nn.Module):
+    def __init__(self, in_channels, out_channels, emb_channels, up=False, down=False,
+                 attention=False, num_heads=None, channels_per_head=64, skip_scale=1.0,
+                 eps=1e-5, resample_filter=(1, 1), resample_proj=False, adaptive_scale=True):
+        super().__init__()
+        self.in_channels, self.out_channels = in_channels, out_channels
+        self.num_heads = 0 if not attention else (num_heads if num_heads is not None
+                                                  else out_channels // channels_per_head)
+        self.skip_scale, self.adaptive_scale = skip_scale, adaptive_scale
+        self.norm0 = _norm(in_channels, eps)
+        self.conv0 = Conv2d(in_channels, out_channels, 3, up=up, down=down,
+                            resample_filter=resample_filter)
+        self.affine = Linear(emb_channels, out_channels * (2 if adaptive_scale else 1))
+        self.norm1 = _norm(out_channels, eps)
+        self.conv1 = Conv2d(out_channels, out_channels, 3)
+        self.skip = None
+        if out_channels != in_channels or up or down:
+            kernel = 1 if resample_proj or out_channels != in_channels else 0
+            self.skip = Conv2d(in_channels, out_channels, kernel, up=up, down=down,
+                               resample_filter=resample_filter)
+        if self.num_heads:
+            self.norm2 = _norm(out_channels, eps)
+            self.qkv = Conv2d(out_channels, out_channels * 3, 1)
+            self.proj = Conv2d(out_channels, out_channels, 1)
+
+    def forward(self, x, emb):
+        orig = x
+        x = self.conv0(F.silu(self.norm0(x)))
+        params = self.affine(emb).unsqueeze(2).unsqueeze(3).to(x.dtype)
+        if self.adaptive_scale:
+            scale, shift = params.chunk(chunks=2, dim=1)
+            x = F.silu(torch.addcmul(shift, self.norm1(x), scale + 1))
+        else:
+            x = F.silu(self.norm1(x.add_(params)))
+        x = self.conv1(x)
+        x = x.add_(self.skip(orig) if self.skip is not None else orig)
+        x = x * self.skip_scale
+
+        if self.num_heads:
+            q, k, v = (self.qkv(self.norm2(x))
+                       .reshape(x.shape[0] * self.num_heads, x.shape[1] // self.num_heads, 3, -1)
+                       .unbind(2))
+            w = torch.einsum("ncq,nck->nqk", q.float(),
+                             (k / math.sqrt(k.shape[1])).float()).softmax(dim=2).to(x.dtype)
+            a = torch.einsum("nqk,nck->ncq", w, v)
+            x = self.proj(a.reshape(*x.shape)).add_(x)
+            x = x * self.skip_scale
+        return x
+
+
+class SongUNet(nn.Module):
+    def __init__(self, img_resolution, in_channels, out_channels, label_dim=0,
+                 augment_dim=0, model_channels=128, channel_mult=(1, 2, 2, 2),
+                 channel_mult_emb=4, num_blocks=4, attn_resolutions=(16,),
+                 dropout=0.10, label_dropout=0.0, embedding_type="positional",
+                 channel_mult_noise=1, encoder_type="standard",
+                 decoder_type="standard", resample_filter=(1, 1)):
+        super().__init__()
+        emb_channels = model_channels * channel_mult_emb
+        noise_channels = model_channels * channel_mult_noise
+        block_kwargs = dict(emb_channels=emb_channels, num_heads=1,
+                            skip_scale=math.sqrt(0.5), eps=1e-6,
+                            resample_filter=resample_filter, resample_proj=True,
+                            adaptive_scale=False)
+
+        self.map_noise = (PositionalEmbedding(noise_channels, endpoint=True)
+                          if embedding_type == "positional"
+                          else FourierEmbedding(noise_channels))
+        self.map_label = Linear(label_dim, noise_channels) if label_dim else None
+        self.map_augment = Linear(augment_dim, noise_channels, bias=False) if augment_dim else None
+        self.map_layer0 = Linear(noise_channels, emb_channels)
+        self.map_layer1 = Linear(emb_channels, emb_channels)
+
+        self.enc = nn.ModuleDict()
+        cout = in_channels
+        caux = in_channels
+        for level, mult in enumerate(channel_mult):
+            res = img_resolution >> level
+            if level == 0:
+                cin, cout = cout, model_channels
+                self.enc[f"{res}x{res}_conv"] = Conv2d(cin, cout, 3)
+            else:
+                self.enc[f"{res}x{res}_down"] = UNetBlock(cout, cout, down=True, **block_kwargs)
+                if encoder_type == "skip":
+                    self.enc[f"{res}x{res}_aux_down"] = Conv2d(caux, caux, 0, down=True,
+                                                               resample_filter=resample_filter)
+                    self.enc[f"{res}x{res}_aux_skip"] = Conv2d(caux, cout, 1)
+                if encoder_type == "residual":
+                    self.enc[f"{res}x{res}_aux_residual"] = Conv2d(
+                        caux, cout, 3, down=True, resample_filter=resample_filter,
+                        fused_resample=True)
+                    caux = cout
+            for idx in range(num_blocks):
+                cin, cout = cout, model_channels * mult
+                self.enc[f"{res}x{res}_block{idx}"] = UNetBlock(
+                    cin, cout, attention=(res in attn_resolutions), **block_kwargs)
+
+        skips = [b.out_channels for n, b in self.enc.items() if "aux" not in n]
+
+        self.dec = nn.ModuleDict()
+        for level, mult in reversed(list(enumerate(channel_mult))):
+            res = img_resolution >> level
+            if level == len(channel_mult) - 1:
+                self.dec[f"{res}x{res}_in0"] = UNetBlock(cout, cout, attention=True, **block_kwargs)
+                self.dec[f"{res}x{res}_in1"] = UNetBlock(cout, cout, **block_kwargs)
+            else:
+                self.dec[f"{res}x{res}_up"] = UNetBlock(cout, cout, up=True, **block_kwargs)
+            for idx in range(num_blocks + 1):
+                cin = cout + skips.pop()
+                cout = model_channels * mult
+                self.dec[f"{res}x{res}_block{idx}"] = UNetBlock(
+                    cin, cout, attention=(idx == num_blocks and res in attn_resolutions),
+                    **block_kwargs)
+            if decoder_type == "skip" or level == 0:
+                if decoder_type == "skip" and level < len(channel_mult) - 1:
+                    self.dec[f"{res}x{res}_aux_up"] = Conv2d(out_channels, out_channels, 0, up=True,
+                                                             resample_filter=resample_filter)
+                self.dec[f"{res}x{res}_aux_norm"] = _norm(cout, eps=1e-6)
+                self.dec[f"{res}x{res}_aux_conv"] = Conv2d(cout, out_channels, 3)
+
+    def forward(self, x, noise_labels, class_labels=None, augment_labels=None):
+        emb = self.map_noise(noise_labels)
+        emb = emb.reshape(emb.shape[0], 2, -1).flip(1).reshape(*emb.shape)
+        if self.map_label is not None and class_labels is not None:
+            emb = emb + self.map_label(class_labels * math.sqrt(self.map_label.weight.shape[1]))
+        if self.map_augment is not None and augment_labels is not None:
+            emb = emb + self.map_augment(augment_labels)
+        emb = F.silu(self.map_layer0(emb))
+        emb = F.silu(self.map_layer1(emb))
+
+        skips = []
+        aux = x
+        for name, block in self.enc.items():
+            if "aux_down" in name:
+                aux = block(aux)
+            elif "aux_skip" in name:
+                x = skips[-1] = x + block(aux)
+            elif "aux_residual" in name:
+                x = skips[-1] = aux = (x + block(aux)) / math.sqrt(2)
+            else:
+                x = block(x, emb) if isinstance(block, UNetBlock) else block(x)
+                skips.append(x)
+
+        aux = None
+        tmp = None
+        for name, block in self.dec.items():
+            if "aux_up" in name:
+                aux = block(aux)
+            elif "aux_norm" in name:
+                tmp = block(x)
+            elif "aux_conv" in name:
+                tmp = block(F.silu(tmp))
+                aux = tmp if aux is None else tmp + aux
+            else:
+                if x.shape[1] != block.in_channels:
+                    x = torch.cat([x, skips.pop()], dim=1)
+                x = block(x, emb)
+        return aux
+
+
+class DhariwalUNet(nn.Module):
+    def __init__(self, img_resolution, in_channels, out_channels, label_dim=0,
+                 augment_dim=0, model_channels=192, channel_mult=(1, 2, 3, 4),
+                 channel_mult_emb=4, num_blocks=3, attn_resolutions=(32, 16, 8),
+                 dropout=0.10, label_dropout=0.0):
+        super().__init__()
+        emb_channels = model_channels * channel_mult_emb
+        block_kwargs = dict(emb_channels=emb_channels, channels_per_head=64,
+                            adaptive_scale=True)
+
+        self.map_noise = PositionalEmbedding(model_channels)
+        self.map_augment = Linear(augment_dim, model_channels, bias=False) if augment_dim else None
+        self.map_layer0 = Linear(model_channels, emb_channels)
+        self.map_layer1 = Linear(emb_channels, emb_channels)
+        self.map_label = Linear(label_dim, emb_channels, bias=False) if label_dim else None
+
+        self.enc = nn.ModuleDict()
+        cout = in_channels
+        for level, mult in enumerate(channel_mult):
+            res = img_resolution >> level
+            if level == 0:
+                cin, cout = cout, model_channels * mult
+                self.enc[f"{res}x{res}_conv"] = Conv2d(cin, cout, 3)
+            else:
+                self.enc[f"{res}x{res}_down"] = UNetBlock(cout, cout, down=True, **block_kwargs)
+            for idx in range(num_blocks):
+                cin, cout = cout, model_channels * mult
+                self.enc[f"{res}x{res}_block{idx}"] = UNetBlock(
+                    cin, cout, attention=(res in attn_resolutions), **block_kwargs)
+
+        skips = [b.out_channels for b in self.enc.values()]
+
+        self.dec = nn.ModuleDict()
+        for level, mult in reversed(list(enumerate(channel_mult))):
+            res = img_resolution >> level
+            if level == len(channel_mult) - 1:
+                self.dec[f"{res}x{res}_in0"] = UNetBlock(cout, cout, attention=True, **block_kwargs)
+                self.dec[f"{res}x{res}_in1"] = UNetBlock(cout, cout, **block_kwargs)
+            else:
+                self.dec[f"{res}x{res}_up"] = UNetBlock(cout, cout, up=True, **block_kwargs)
+            for idx in range(num_blocks + 1):
+                cin = cout + skips.pop()
+                cout = model_channels * mult
+                self.dec[f"{res}x{res}_block{idx}"] = UNetBlock(
+                    cin, cout, attention=(res in attn_resolutions), **block_kwargs)
+
+        self.out_norm = _norm(cout, eps=1e-5)
+        self.out_conv = Conv2d(cout, out_channels, 3)
+
+    def forward(self, x, noise_labels, class_labels=None, augment_labels=None):
+        emb = self.map_noise(noise_labels)
+        if self.map_augment is not None and augment_labels is not None:
+            emb = emb + self.map_augment(augment_labels)
+        emb = F.silu(self.map_layer0(emb))
+        emb = self.map_layer1(emb)
+        if self.map_label is not None and class_labels is not None:
+            emb = emb + self.map_label(class_labels)
+        emb = F.silu(emb)
+
+        skips = []
+        for block in self.enc.values():
+            x = block(x, emb) if isinstance(block, UNetBlock) else block(x)
+            skips.append(x)
+        for block in self.dec.values():
+            if x.shape[1] != block.in_channels:
+                x = torch.cat([x, skips.pop()], dim=1)
+            x = block(x, emb)
+        return self.out_conv(F.silu(self.out_norm(x)))
+
+
+class VEPrecond(nn.Module):
+    def __init__(self, model):
+        super().__init__()
+        self.model = model
+
+    def forward(self, x, sigma, class_labels=None):
+        sigma = torch.as_tensor(sigma).float().reshape(-1, 1, 1, 1)
+        c_noise = (0.5 * sigma).log()
+        F_x = self.model(x.float(), c_noise.flatten(), class_labels=class_labels)
+        return x.float() + sigma * F_x.float()
+
+
+class EDMPrecond(nn.Module):
+    def __init__(self, model, sigma_data=0.5):
+        super().__init__()
+        self.model = model
+        self.sigma_data = sigma_data
+
+    def forward(self, x, sigma, class_labels=None):
+        x = x.float()
+        sigma = torch.as_tensor(sigma).float().reshape(-1, 1, 1, 1)
+        sd2 = self.sigma_data**2
+        c_skip = sd2 / (sigma**2 + sd2)
+        c_out = sigma * self.sigma_data / (sigma**2 + sd2).sqrt()
+        c_in = 1 / (sd2 + sigma**2).sqrt()
+        c_noise = sigma.log() / 4
+        F_x = self.model(c_in * x, c_noise.flatten(), class_labels=class_labels)
+        return c_skip * x + c_out * F_x.float()
+
+
+# ---- persistence-format pickling (for testing the extraction path) ----
+
+
+class _Reducer:
+    def __init__(self, meta):
+        self.meta = meta
+
+    def __reduce__(self):
+        import torch_utils.persistence as p
+
+        return (p._reconstruct_persistent_obj, (self.meta,))
+
+
+def _stubify(mod: nn.Module, class_name=None, init_args=(), init_kwargs=None):
+    state = dict(
+        _parameters=dict(mod._parameters),
+        _buffers=dict(mod._buffers),
+        _modules={k: _stubify(v) for k, v in mod._modules.items() if v is not None},
+    )
+    if init_kwargs is not None:
+        state["_init_args"] = tuple(init_args)
+        state["_init_kwargs"] = dict(init_kwargs)
+    meta = dict(
+        type="class",
+        version=6,
+        module_src="",
+        class_name=class_name or type(mod).__name__,
+        state=state,
+    )
+    return _Reducer(meta)
+
+
+def fake_nvlabs_pickle(path, precond: nn.Module, model_args, model_kwargs,
+                       precond_kwargs=None):
+    r"""Serializes `{'ema': precond}` in the torch_utils.persistence format."""
+
+    created = []
+    for name in ("torch_utils", "torch_utils.persistence"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+    sys.modules["torch_utils"].persistence = sys.modules["torch_utils.persistence"]
+
+    # pickle serializes the function by (module, qualname) reference
+    def _reconstruct_persistent_obj(meta):  # pragma: no cover - dump-time only
+        return meta
+
+    _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
+    _reconstruct_persistent_obj.__qualname__ = "_reconstruct_persistent_obj"
+    sys.modules["torch_utils.persistence"]._reconstruct_persistent_obj = (
+        _reconstruct_persistent_obj
+    )
+
+    try:
+        ema = _stubify(precond, init_kwargs=precond_kwargs or {})
+        ema.meta["state"]["_modules"]["model"] = _stubify(
+            precond.model, init_args=model_args, init_kwargs=model_kwargs
+        )
+        with open(path, "wb") as f:
+            pickle.dump({"ema": ema}, f)
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
