@@ -98,26 +98,59 @@ class ElucidatedLatentDenoiser(Denoiser):
         return DiracPosterior(mean=mean)
 
 
-def load_model(name: str):
-    r"""Loads a pretrained ELDM (EDM2) latent denoiser.
+def load_model(name: str, dtype=None):
+    r"""Loads a pretrained ELDM (EDM2) latent denoiser with native JAX
+    backbones (reference `eldm/__init__.py:164-200`, minus the NVlabs-repo and
+    diffusers dependencies).
 
-    Requires `torch` plus the external `NVlabs/edm2` repository to unpickle the
-    checkpoint, and `diffusers` for the VAE (same constraints as the reference).
+    The EDM2 pickle is read with the stub persistence namespace
+    (:mod:`azula_tpu.models.edm.convert`); the VAE is the native
+    :class:`~azula_tpu.models.autoencoder.AutoencoderKL` converted from
+    `stabilityai/sd-vae-ft-mse`.
+
+    Arguments:
+        name: The pretrained model name (see `cards.yaml`).
+        dtype: Optional dtype for the backbones (e.g. `jnp.bfloat16`).
+
+    Returns:
+        A `(denoiser, autoencoder)` pair.
     """
 
-    import pickle
+    from safetensors import numpy as st
+
+    from ...utils.pytree import filter_eval_shape, load_state_dict
+    from ..autoencoder import AutoencoderKL, convert_vae_state_dict
+    from .convert import build_from_pickle
 
     card = load_cards(__name__)[name]
 
     path = download(card.url, hash_prefix=card.hash)
 
-    try:
-        with open(path, "rb") as f:
-            content = pickle.load(f)
-    except ModuleNotFoundError as e:
-        raise RuntimeError(
-            "EDM2 checkpoints are pickled torch modules; clone NVlabs/edm2 and "
-            "add it to your Python path before loading."
-        ) from e
+    backbone, shift, scale = build_from_pickle(path)
 
-    return ElucidatedLatentDenoiser(backbone=content["ema"])
+    if shift is None or scale is None:
+        raise RuntimeError(
+            f"checkpoint '{name}' carries no latent encoder statistics "
+            "(expected an 'encoder' entry with bias/scale buffers)"
+        )
+
+    if dtype is not None:
+        backbone = backbone.astype(dtype)
+
+    denoiser = ElucidatedLatentDenoiser(backbone=backbone)
+
+    vae_sd = st.load_file(
+        download(
+            "https://huggingface.co/stabilityai/sd-vae-ft-mse/resolve/main/"
+            "diffusion_pytorch_model.safetensors"
+        )
+    )
+    vae = filter_eval_shape(AutoencoderKL, key=jax.random.key(0))
+    vae = load_state_dict(vae, convert_vae_state_dict(vae, vae_sd))
+
+    if dtype is not None:
+        vae = vae.astype(dtype)
+
+    autoencoder = AutoEncoder(vae=vae, shift=shift, scale=scale)
+
+    return denoiser, autoencoder
