@@ -21,6 +21,7 @@ __all__ = [
 import jax
 import jax.numpy as jnp
 import math
+import numpy as np
 
 from collections.abc import Sequence
 from jax import Array
@@ -28,6 +29,8 @@ from jax import Array
 from ...nn.layers import Conv, Dropout, GroupNorm, Linear
 from ...nn.module import Module
 from ...ops.attention import dot_product_attention
+from ...ops.norm import group_norm
+from ...ops.resample import upsample2_conv3x3
 
 
 def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
@@ -102,10 +105,10 @@ class ADMUpsample(Module):
         self.conv = _conv3(channels, out_channels, key=key) if use_conv else None
 
     def __call__(self, x: Array, emb: Array | None = None, key=None) -> Array:
-        x = _upsample2(x)
         if self.conv is not None:
-            x = self.conv(x)
-        return x
+            # subpixel fusion: never materializes the 4x-upsampled tensor
+            return upsample2_conv3x3(x, self.conv.weight, self.conv.bias)
+        return _upsample2(x)
 
 
 class ADMDownsample(Module):
@@ -174,15 +177,93 @@ class ADMResBlock(Module):
                 channels, out_channels, kernel_size=(1, 1), key=k4
             )
 
-    def __call__(self, x: Array, emb: Array, key: Array | None = None) -> Array:
-        h = jax.nn.silu(self.in_norm(x))
+    def _split_in(self, parts: tuple[Array, ...]) -> Array:
+        r"""Applies `in_norm -> SiLU -> in_conv` to a *virtual concatenation*
+        without materializing it: the 32 GroupNorm groups never straddle the
+        skip boundary here (both halves are multiples of the group size), so
+        the norm factorizes per part, and the convolution becomes a
+        split-weight accumulation — measured faster than conv-of-concat on
+        v5e, and it saves the concat's HBM round trip."""
 
-        if self.updown == "up":
-            h, x = _upsample2(h), _upsample2(x)
-        elif self.updown == "down":
-            h, x = _avgpool2(h), _avgpool2(x)
+        sizes = [p.shape[-1] for p in parts]
+        group = sum(sizes) // self.in_norm.groups
 
-        h = self.in_conv(h)
+        w = self.in_conv.weight
+        offsets = [0, *list(np.cumsum(sizes))]
+
+        h = None
+        for p, lo, hi in zip(parts, offsets[:-1], offsets[1:]):
+            g = jax.nn.silu(
+                group_norm(
+                    p,
+                    (hi - lo) // group,
+                    eps=self.in_norm.eps,
+                    scale=self.in_norm.scale[lo:hi],
+                    bias=self.in_norm.bias[lo:hi],
+                )
+            )
+            y = jax.lax.conv_general_dilated(
+                g,
+                w[:, :, lo:hi].astype(g.dtype),
+                window_strides=self.in_conv.stride,
+                padding=list(self.in_conv.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = y if h is None else h + y
+
+        return h + self.in_conv.bias.astype(h.dtype)
+
+    def _split_skip(self, parts: tuple[Array, ...]) -> Array:
+        sizes = [p.shape[-1] for p in parts]
+        offsets = [0, *list(np.cumsum(sizes))]
+        w = self.skip.weight
+
+        h = None
+        for p, lo, hi in zip(parts, offsets[:-1], offsets[1:]):
+            y = jax.lax.conv_general_dilated(
+                p,
+                w[..., lo:hi, :].astype(p.dtype),
+                window_strides=self.skip.stride,
+                padding=list(self.skip.padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = y if h is None else h + y
+
+        return h + self.skip.bias.astype(h.dtype)
+
+    def __call__(
+        self, x: Array | tuple[Array, ...], emb: Array, key: Array | None = None
+    ) -> Array:
+        r"""`x` may be a tuple of channel parts — a virtual concatenation along
+        the channel axis (the UNet skip pathway) that is never materialized."""
+
+        group = self.in_norm.scale.shape[0] // self.in_norm.groups if self.in_norm.scale is not None else 0
+
+        if (
+            isinstance(x, tuple)
+            and self.updown is None
+            and self.skip is not None
+            and group > 0
+            and all(p.shape[-1] % group == 0 for p in x)
+        ):
+            h = self._split_in(x)
+            skip_parts = x
+        else:
+            if isinstance(x, tuple):
+                x = jnp.concatenate(x, axis=-1)
+            skip_parts = None
+
+            h = jax.nn.silu(self.in_norm(x))
+
+            if self.updown == "up":
+                # subpixel fusion of nearest-x2 + in_conv (ops/resample.py)
+                h = upsample2_conv3x3(h, self.in_conv.weight, self.in_conv.bias)
+                x = _upsample2(x)
+            elif self.updown == "down":
+                h, x = _avgpool2(h), _avgpool2(x)
+                h = self.in_conv(h)
+            else:
+                h = self.in_conv(h)
 
         emb_out = self.emb_lin(jax.nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]  # broadcast over spatial (channels-last)
@@ -198,7 +279,10 @@ class ADMResBlock(Module):
         h = self.drop(h, key)
         h = self.out_conv(h)
 
-        skip = x if self.skip is None else self.skip(x)
+        if skip_parts is not None:
+            skip = self._split_skip(skip_parts)
+        else:
+            skip = x if self.skip is None else self.skip(x)
 
         return skip + h
 
@@ -476,8 +560,9 @@ class ADMUNet(Module):
 
         for i, layers in enumerate(self.output_blocks):
             sub = None if key is None else jax.random.fold_in(key, 1000 + i)
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = run(layers, h, sub)
+            # virtual concatenation: the first resblock of the group consumes
+            # the tuple without materializing the concat (see ADMResBlock)
+            h = run(layers, (h, hs.pop()), sub)
 
         h = h.astype(x.dtype)
         h = jax.nn.silu(self.out_norm(h))

@@ -26,16 +26,32 @@ from ..nn.layers import Conv, GroupNorm, Linear
 from ..nn.module import Module
 
 
-def _np(tensor) -> np.ndarray:
+def _np(tensor):
+    r"""Normalizes a checkpoint tensor to an array (numpy, or JAX for dtypes
+    numpy lacks, e.g. the bfloat16 arrays of `safetensors.flax`)."""
+
     if isinstance(tensor, np.ndarray):
         return tensor
-    if hasattr(tensor, "detach"):
+    if hasattr(tensor, "detach"):  # torch
         t = tensor.detach().cpu()
         # numpy refuses bfloat16; round-trip through float32
         if "bfloat16" in str(t.dtype):
             t = t.float()
         return t.numpy()
+    if hasattr(tensor, "devices"):  # already a JAX array (kept on host)
+        return tensor
     return np.asarray(tensor)
+
+
+def _transpose(w, perm):
+    r"""dtype-agnostic transpose with contiguous output."""
+
+    if isinstance(w, np.ndarray):
+        return np.ascontiguousarray(np.transpose(w, perm))
+
+    import jax.numpy as jnp
+
+    return jnp.transpose(w, perm)
 
 
 class Converter:
@@ -74,7 +90,7 @@ class Converter:
         while w.ndim > 2:  # 1x1 convs used as linears
             w = w[..., 0]
 
-        self.out[f"{ours}.weight"] = np.ascontiguousarray(w.T)
+        self.out[f"{ours}.weight"] = _transpose(w, (1, 0))
 
         if module.bias is not None:
             self.out[f"{ours}.bias"] = _np(self._get(f"{theirs}.bias"))
@@ -83,7 +99,7 @@ class Converter:
         w = _np(self._get(f"{theirs}.weight"))  # (out, in, *k)
         k = w.ndim - 2
         perm = tuple(range(2, 2 + k)) + (1, 0)
-        self.out[f"{ours}.weight"] = np.ascontiguousarray(np.transpose(w, perm))
+        self.out[f"{ours}.weight"] = _transpose(w, perm)
 
         if module.bias is not None:
             self.out[f"{ours}.bias"] = _np(self._get(f"{theirs}.bias"))

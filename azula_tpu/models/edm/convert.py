@@ -23,7 +23,7 @@ import numpy as np
 import sys
 import types
 
-from ..convert_utils import Converter, _np
+from ..convert_utils import Converter, _np, _transpose
 from .backbone import PRECONDS, DhariwalUNet, EDMConv, FourierEmbedding, SongUNet
 
 
@@ -124,14 +124,12 @@ class _EDMConverter(Converter):
         if isinstance(mod, EDMConv):
             if mod.weight is not None:
                 w = _np(self._get(f"{theirs}.weight"))  # (out, in, k, k)
-                self.out[f"{ours}.weight"] = np.ascontiguousarray(
-                    np.transpose(w, (2, 3, 1, 0))
-                )
+                self.out[f"{ours}.weight"] = _transpose(w, (2, 3, 1, 0))
             if mod.bias is not None:
                 self.out[f"{ours}.bias"] = _np(self._get(f"{theirs}.bias"))
             # the FIR filter is a buffer of shape (1, 1, kf, kf)
             f = _np(self._get(f"{theirs}.resample_filter"))
-            self.out[f"{ours}.filter"] = np.ascontiguousarray(f.reshape(f.shape[-2:]))
+            self.out[f"{ours}.filter"] = f.reshape(f.shape[-2:])
         elif isinstance(mod, FourierEmbedding):
             self.array(f"{ours}.freqs", f"{theirs}.freqs")
         else:

@@ -15,7 +15,7 @@ __all__ = [
 
 import numpy as np
 
-from ..convert_utils import _np
+from ..convert_utils import _np, _transpose
 from ..edm.convert import _EDMConverter, load_nvlabs_pickle, stub_state_dict
 from .backbone import EDM2Precond, EDM2UNet, MPConv, MPFourier
 
@@ -26,11 +26,8 @@ class _ELDMConverter(_EDMConverter):
 
         if isinstance(mod, MPConv):
             w = _np(self._get(f"{theirs}.weight"))  # (out, in, *k)
-            if w.ndim == 4:
-                w = np.transpose(w, (2, 3, 1, 0))
-            else:
-                w = w.T
-            self.out[f"{ours}.weight"] = np.ascontiguousarray(w)
+            perm = (2, 3, 1, 0) if w.ndim == 4 else (1, 0)
+            self.out[f"{ours}.weight"] = _transpose(w, perm)
         elif isinstance(mod, MPFourier):
             self.array(f"{ours}.freqs", f"{theirs}.freqs")
             self.array(f"{ours}.phases", f"{theirs}.phases")

@@ -21,6 +21,7 @@ __all__ = [
 ]
 
 import functools
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -116,6 +117,11 @@ class TextEncoder(Module):
             clip_out = clip_out.pooler_output
         if hasattr(clip_out, "detach"):
             clip_out = clip_out.detach().cpu().numpy()
+        if jnp.ndim(clip_out) == 3:  # native encoder: pool at the EOS token
+            ids = jnp.asarray(clip_tokens.input_ids)
+            clip_out = jnp.asarray(clip_out)[
+                jnp.arange(ids.shape[0]), jnp.argmax(ids, axis=-1)
+            ]
 
         t5_out = self.t5(input_ids=t5_tokens.input_ids)
         if hasattr(t5_out, "last_hidden_state"):
@@ -147,14 +153,16 @@ class FluxDenoiser(Denoiser):
 
     @staticmethod
     @functools.cache
-    def coordinates(H: int, W: int) -> Array:
-        r"""Cached (0, y, x) image-coordinate ids (reference `flux/__init__.py:179-195`)."""
+    def coordinates(H: int, W: int) -> np.ndarray:
+        r"""Cached (0, y, x) image-coordinate ids (reference
+        `flux/__init__.py:179-195`). Computed host-side in NumPy — caching
+        device arrays would leak tracers across `jit`/`scan` traces."""
 
-        z = jnp.zeros(1)
-        y = jnp.arange(H, dtype=jnp.float32)
-        x = jnp.arange(W, dtype=jnp.float32)
+        z = np.zeros(1, dtype=np.float32)
+        y = np.arange(H, dtype=np.float32)
+        x = np.arange(W, dtype=np.float32)
 
-        grid = jnp.stack(jnp.meshgrid(z, y, x, indexing="ij"), axis=-1)
+        grid = np.stack(np.meshgrid(z, y, x, indexing="ij"), axis=-1)
 
         return grid.reshape(-1, 3)
 
@@ -192,7 +200,7 @@ class FluxDenoiser(Denoiser):
 
         dtype = get_module_dtype(self.backbone)
 
-        img_ids = self.coordinates(H, W).astype(dtype)
+        img_ids = jnp.asarray(self.coordinates(H, W), dtype=dtype)
         txt_ids = jnp.zeros((L, 3), dtype=dtype)
 
         if guidance is not None:
@@ -215,21 +223,80 @@ class FluxDenoiser(Denoiser):
         return DiracPosterior(mean=mean)
 
 
-def load_model(name: str, **kwargs):
-    r"""Loads a pretrained Flux denoiser by converting the diffusers pipeline
-    (optional dependency, as in the reference)."""
+def load_model(name: str = "flux_1_dev", dtype=jnp.bfloat16):
+    r"""Loads a pretrained Flux denoiser with native JAX backbones
+    (reference `flux/__init__.py:260-303`, minus the diffusers dependency).
+
+    Downloads the (sharded) transformer, VAE, CLIP and T5 safetensors from the
+    checkpoint repository and converts them to the native channels-last
+    modules.
+
+    Arguments:
+        name: The pretrained model name (see `cards.yaml`).
+        dtype: The backbone dtype (the checkpoints ship bfloat16).
+
+    Returns:
+        A `(denoiser, autoencoder, textencoder)` triple.
+    """
+
+    from transformers import CLIPTokenizer, T5TokenizerFast
+
+    from ...hub import download
+    from ...utils.pytree import filter_eval_shape, load_state_dict
+    from ..autoencoder import AutoencoderKL, convert_vae_state_dict
+    from ..clip import CLIPTextEncoder, convert_clip_state_dict
+    from ..t5 import T5Encoder, convert_t5_state_dict
+    from ..utils import load_hub_safetensors
+    from .backbone import FluxTransformer
+    from .convert import convert_flux_state_dict
 
     card = load_cards(__name__)[name]
+    repo = card.repo
+    variant = getattr(card, "variant", None)
+    base = f"https://huggingface.co/{repo}/resolve/main"
 
-    try:
-        import diffusers  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "loading pretrained Flux checkpoints requires the optional "
-            "`diffusers` dependency (pip install diffusers transformers)"
-        ) from e
+    guidance = "schnell" not in name  # dev is guidance-distilled
 
-    raise NotImplementedError(
-        f"native conversion of '{card.repo}' is not wired up yet; construct a "
-        "FluxDenoiser around a converted or native backbone instead"
+    # Transformer (sharded bf16)
+    sd = load_hub_safetensors(repo, "transformer/diffusion_pytorch_model", variant)
+    transformer = filter_eval_shape(
+        FluxTransformer, guidance_embeds=guidance, key=jax.random.key(0)
     )
+    transformer = load_state_dict(transformer, convert_flux_state_dict(transformer, sd))
+
+    denoiser = FluxDenoiser(backbone=transformer.astype(dtype))
+
+    # VAE: 16 latent channels, no quant convs; latents are 2x2-packed by the
+    # wrapper (shift/scale factors of the published config)
+    vae_sd = load_hub_safetensors(repo, "vae/diffusion_pytorch_model", variant)
+    vae = filter_eval_shape(
+        AutoencoderKL, latent_channels=16, use_quant_conv=False, key=jax.random.key(0)
+    )
+    vae = load_state_dict(vae, convert_vae_state_dict(vae, vae_sd))
+    autoencoder = AutoEncoder(vae=vae.astype(dtype), shift=0.1159, scale=0.3611)
+
+    # Text encoders: CLIP (pooled) + T5-XXL (sequence)
+    clip_sd = load_hub_safetensors(repo, "text_encoder/model", variant)
+    clip = filter_eval_shape(CLIPTextEncoder, key=jax.random.key(0))
+    clip = load_state_dict(clip, convert_clip_state_dict(clip, clip_sd))
+
+    t5_sd = load_hub_safetensors(repo, "text_encoder_2/model", variant)
+    t5 = filter_eval_shape(T5Encoder, key=jax.random.key(0))
+    t5 = load_state_dict(t5, convert_t5_state_dict(t5, t5_sd))
+
+    clip_tokenizer = CLIPTokenizer(
+        vocab_file=download(f"{base}/tokenizer/vocab.json"),
+        merges_file=download(f"{base}/tokenizer/merges.txt"),
+    )
+    t5_tokenizer = T5TokenizerFast(
+        tokenizer_file=download(f"{base}/tokenizer_2/tokenizer.json")
+    )
+
+    textencoder = TextEncoder(
+        clip=clip.astype(dtype),
+        clip_tokenizer=clip_tokenizer,
+        t5=t5.astype(dtype),
+        t5_tokenizer=t5_tokenizer,
+    )
+
+    return denoiser, autoencoder, textencoder

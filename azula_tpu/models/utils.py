@@ -8,6 +8,7 @@ from __future__ import annotations
 
 __all__ = [
     "load_cards",
+    "load_hub_safetensors",
 ]
 
 import jax.numpy as jnp
@@ -55,3 +56,58 @@ def load_cards(plugin: ModuleType | str) -> dict[str, SimpleNamespace]:
             }
 
     return {name: SimpleNamespace(**card) for name, card in cards.items()}
+
+
+def load_hub_safetensors(repo: str, name: str, variant: str | None = None) -> dict:
+    r"""Downloads and reads a (possibly sharded) safetensors checkpoint from a
+    HuggingFace repository.
+
+    Single-file checkpoints live at `{name}{.variant}.safetensors`; sharded
+    ones publish a `...safetensors.index.json` with a `weight_map` from tensor
+    names to shard files (the diffusers/transformers convention).
+
+    Arguments:
+        repo: The repository (e.g. `'black-forest-labs/FLUX.1-dev'`).
+        name: The checkpoint path inside the repo, without extension
+            (e.g. `'transformer/diffusion_pytorch_model'`).
+        variant: An optional variant infix (e.g. `'fp16'`).
+
+    Returns:
+        A flat name-to-array mapping (numpy).
+    """
+
+    import json
+    import urllib.error
+
+    from ..hub import download
+
+    def read(path):
+        # numpy for the common dtypes; JAX for those numpy lacks (bfloat16)
+        try:
+            from safetensors import numpy as st
+
+            return st.load_file(path)
+        except TypeError:
+            from safetensors import flax as st
+
+            return st.load_file(path)
+
+    suffix = f".{variant}.safetensors" if variant else ".safetensors"
+    base = f"https://huggingface.co/{repo}/resolve/main"
+
+    try:
+        return read(download(f"{base}/{name}{suffix}"))
+    except urllib.error.HTTPError as e:
+        if e.code != 404:
+            raise
+
+    with open(download(f"{base}/{name}{suffix}.index.json")) as f:
+        index = json.load(f)
+
+    out = {}
+    prefix = name.rsplit("/", 1)[0]
+
+    for shard in sorted(set(index["weight_map"].values())):
+        out.update(read(download(f"{base}/{prefix}/{shard}")))
+
+    return out
