@@ -30,7 +30,6 @@ from ...nn.layers import Conv, Dropout, GroupNorm, Linear
 from ...nn.module import Module
 from ...ops.attention import dot_product_attention
 from ...ops.norm import group_norm
-from ...ops.resample import upsample2_conv3x3
 
 
 def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
@@ -105,10 +104,10 @@ class ADMUpsample(Module):
         self.conv = _conv3(channels, out_channels, key=key) if use_conv else None
 
     def __call__(self, x: Array, emb: Array | None = None, key=None) -> Array:
+        x = _upsample2(x)
         if self.conv is not None:
-            # subpixel fusion: never materializes the 4x-upsampled tensor
-            return upsample2_conv3x3(x, self.conv.weight, self.conv.bias)
-        return _upsample2(x)
+            x = self.conv(x)
+        return x
 
 
 class ADMDownsample(Module):
@@ -256,14 +255,11 @@ class ADMResBlock(Module):
             h = jax.nn.silu(self.in_norm(x))
 
             if self.updown == "up":
-                # subpixel fusion of nearest-x2 + in_conv (ops/resample.py)
-                h = upsample2_conv3x3(h, self.in_conv.weight, self.in_conv.bias)
-                x = _upsample2(x)
+                h, x = _upsample2(h), _upsample2(x)
             elif self.updown == "down":
                 h, x = _avgpool2(h), _avgpool2(x)
-                h = self.in_conv(h)
-            else:
-                h = self.in_conv(h)
+
+            h = self.in_conv(h)
 
         emb_out = self.emb_lin(jax.nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]  # broadcast over spatial (channels-last)

@@ -186,21 +186,87 @@ class SanaDenoiser(Denoiser):
         return DiracPosterior(mean=mean)
 
 
-def load_model(name: str, **kwargs):
-    r"""Loads a pretrained Sana denoiser by converting the diffusers pipeline
-    (optional dependency, as in the reference)."""
+# Architecture hyperparameters per model size (the diffusers transformer
+# config of the published checkpoints).
+ARCHS = {
+    "0.6b": dict(  # noqa: C408
+        num_attention_heads=36,
+        attention_head_dim=32,
+        num_cross_attention_heads=16,
+        cross_attention_head_dim=72,
+        num_layers=28,
+        mlp_ratio=2.5,
+    ),
+    "1.6b": dict(  # noqa: C408
+        num_attention_heads=70,
+        attention_head_dim=32,
+        num_cross_attention_heads=20,
+        cross_attention_head_dim=112,
+        num_layers=20,
+        mlp_ratio=2.5,
+    ),
+}
+
+
+def load_model(name: str, dtype=jnp.bfloat16):
+    r"""Loads a pretrained Sana denoiser with native JAX backbones
+    (reference `sana/__init__.py:237-277`, minus the diffusers dependency).
+
+    The transformer and the Gemma text encoder convert natively; the DC-AE
+    latent autoencoder is not reimplemented yet (no local oracle for its
+    EfficientViT blocks), so the returned `AutoEncoder` raises on use.
+
+    Arguments:
+        name: The pretrained model name (see `cards.yaml`).
+        dtype: The backbone dtype.
+
+    Returns:
+        A `(denoiser, autoencoder, textencoder)` triple.
+    """
+
+    from transformers import GemmaTokenizerFast
+
+    from ...debug import RaiseMock
+    from ...hub import download
+    from ...utils.pytree import filter_eval_shape, load_state_dict
+    from ..gemma import Gemma2TextModel, convert_gemma_state_dict
+    from ..utils import load_hub_safetensors
+    from .backbone import SanaTransformer
+    from .convert import convert_sana_state_dict
 
     card = load_cards(__name__)[name]
+    repo = card.repo
+    variant = getattr(card, "variant", None)
+    base = f"https://huggingface.co/{repo}/resolve/main"
 
-    try:
-        import diffusers  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "loading pretrained Sana checkpoints requires the optional "
-            "`diffusers` dependency (pip install diffusers transformers)"
-        ) from e
+    arch = ARCHS["0.6b" if "0.6b" in name else "1.6b"]
 
-    raise NotImplementedError(
-        f"native conversion of '{card.repo}' is not wired up yet; construct a "
-        "SanaDenoiser around a converted or native backbone instead"
+    sd = load_hub_safetensors(repo, "transformer/diffusion_pytorch_model", variant)
+    transformer = filter_eval_shape(SanaTransformer, **arch, key=jax.random.key(0))
+    transformer = load_state_dict(
+        transformer, convert_sana_state_dict(transformer, sd)
     )
+
+    denoiser = SanaDenoiser(backbone=transformer.astype(dtype))
+
+    gemma_sd = load_hub_safetensors(repo, "text_encoder/model", None)
+    gemma = filter_eval_shape(Gemma2TextModel, key=jax.random.key(0))
+    gemma = load_state_dict(gemma, convert_gemma_state_dict(gemma, gemma_sd))
+
+    tokenizer = GemmaTokenizerFast(
+        tokenizer_file=download(f"{base}/tokenizer/tokenizer.json")
+    )
+
+    textencoder = TextEncoder(gemma=gemma.astype(jnp.bfloat16), tokenizer=tokenizer)
+
+    autoencoder = AutoEncoder(
+        ae=RaiseMock(
+            name="AutoencoderDC",
+            error=NotImplementedError(
+                "the DC-AE latent autoencoder is not natively implemented yet"
+            ),
+        ),
+        scale=0.41407,
+    )
+
+    return denoiser, autoencoder, textencoder
