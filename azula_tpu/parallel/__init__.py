@@ -10,6 +10,8 @@ tensor-parallel parameter shardings — XLA emits the collectives.
 from .mesh import (  # noqa: F401
     data_sharding,
     get_mesh,
+    initialize_distributed,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
     shard_batch,

@@ -17,7 +17,9 @@ hand-written communication.
 from __future__ import annotations
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
+    "make_hybrid_mesh",
     "get_mesh",
     "data_sharding",
     "replicated",
@@ -94,3 +96,89 @@ def shard_batch(x: Array, mesh: Mesh | None = None) -> Array:
     sharding = data_sharding(mesh)
 
     return jax.tree.map(lambda leaf: jax.device_put(leaf, sharding), x)
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> None:
+    r"""Initializes the multi-host JAX runtime (SURVEY.md §2.8: the framework
+    owns `jax.distributed.initialize`).
+
+    On TPU pods the arguments are discovered from the environment; pass them
+    explicitly on other platforms. Idempotent: repeated calls are no-ops.
+    """
+
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_hybrid_mesh(
+    data: int | None = None,
+    model: int = 1,
+    replica: int | None = None,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    r"""Creates a `('replica', 'data', 'model')` mesh for multi-slice / multi-host
+    topologies: the outer `'replica'` axis maps across slices (DCN — keep only
+    gradient/EMA all-reduces on it), while `'data'`/`'model'` stay inside a
+    slice (ICI).
+
+    Falls back to a process-major device ordering when slice metadata is
+    unavailable (e.g. CPU meshes in tests), which preserves the
+    DCN-outer/ICI-inner property: devices of one process stay contiguous in
+    the inner axes.
+
+    Arguments:
+        data: Per-replica data-parallel size. Defaults to
+            `n_devices / (replica * model)`.
+        model: Tensor-parallel size (innermost — fastest ICI links).
+        replica: The cross-slice axis size. Defaults to the number of slices
+            (or processes).
+        devices: The devices to use. Defaults to all devices (multi-host:
+            `jax.devices()` is global).
+    """
+
+    if devices is None:
+        devices = jax.devices()
+
+    devices = list(devices)
+
+    # group by slice (TPU multi-slice) or process, preserving locality
+    def slice_key(d):
+        return (
+            getattr(d, "slice_index", None) or 0,
+            getattr(d, "process_index", 0),
+            d.id,
+        )
+
+    devices.sort(key=slice_key)
+
+    if replica is None:
+        slices = {slice_key(d)[:1] for d in devices}
+        processes = {getattr(d, "process_index", 0) for d in devices}
+        replica = len(slices) if len(slices) > 1 else max(len(processes), 1)
+
+    if data is None:
+        data = len(devices) // (replica * model)
+
+    assert replica * data * model == len(devices), (
+        f"mesh {replica}x{data}x{model} != device count {len(devices)}"
+    )
+
+    return Mesh(
+        np.asarray(devices).reshape(replica, data, model),
+        axis_names=("replica", "data", "model"),
+    )

@@ -57,11 +57,48 @@ def _call_jit(static, arrays, x, key):
     return sampler._trajectory(x, key, **kwargs)
 
 
+class _Progress:
+    r"""Host-side sampling progress line with rate and ETA (the equivalent of
+    the reference's tqdm bar, `azula/sample.py:130-137`), driven by an ordered
+    `jax.debug.callback` from inside the compiled scan."""
+
+    def __init__(self, total: int) -> None:
+        self.total = total
+        self.t0 = None
+
+    def __call__(self, i) -> None:
+        import sys
+        import time as _time
+
+        i = int(i) + 1
+
+        if i == 1 or self.t0 is None:
+            self.t0 = _time.perf_counter()
+            rate = float("nan")
+            eta = float("nan")
+        else:
+            dt = _time.perf_counter() - self.t0
+            rate = (i - 1) / dt if dt > 0 else float("nan")
+            eta = (self.total - i) / rate if rate > 0 else float("nan")
+
+        end = "\n" if i >= self.total else ""
+        print(
+            f"\rsampling {i}/{self.total} ({rate:5.2f} steps/s, ETA {eta:4.0f}s)",
+            end=end,
+            file=sys.stderr,
+            flush=True,
+        )
+
+        if i >= self.total:
+            self.t0 = None  # reset for reuse of the compiled function
+
+
 class Sampler(Module, abc.ABC):
     r"""Abstract reverse diffusion sampler.
 
-    Reference: `azula/sample.py:54-176`. The `silent`/progress-bar machinery
-    (`sample.py:130-137`) has no equivalent: the loop is compiled.
+    Reference: `azula/sample.py:54-176`. The reference's tqdm bar
+    (`sample.py:130-137`) maps to `progress=True`: an ordered host callback
+    printing rate/ETA from inside the compiled scan.
 
     Arguments:
         start: The starting time :math:`t_T`.
@@ -163,14 +200,18 @@ class Sampler(Module, abc.ABC):
     def _trajectory(self, x: Array, key: Array | None, **kwargs) -> Array:
         time = self.timesteps.astype(x.dtype)
 
+        tracker = _Progress(self.steps) if self.progress else None
+
         def body(x_t, inp):
             i, t, s = inp
             k = None if key is None else jax.random.fold_in(key, i)
             x_s = self.step(x_t, t, s, key=k, **kwargs)
-            if self.progress:
-                # Host-side progress line (equivalent of the reference's tqdm
-                # bar, `sample.py:130-137`, from inside the compiled scan)
-                jax.debug.print("sampling step {i}/{n}", i=i + 1, n=self.steps)
+            if tracker is not None:
+                # Ordered host callback: a real rate/ETA line (equivalent of
+                # the reference's tqdm bar, `sample.py:130-137`). Ordering
+                # serializes the scan against the host — enable for
+                # interactive use, not benchmarks.
+                jax.debug.callback(tracker, i, ordered=True)
             return x_s, None
 
         x, _ = jax.lax.scan(

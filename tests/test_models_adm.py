@@ -13,6 +13,8 @@ from azula_tpu.models.adm.backbone import ADMUNet, timestep_embedding
 from azula_tpu.models.adm.convert import convert_state_dict
 from azula_tpu.utils.pytree import load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     image_size=32,
     in_channels=3,

@@ -11,6 +11,8 @@ from azula_tpu.models.vdm.cc12m import CC12M1Model
 from azula_tpu.models.vdm.convert import convert_state_dict
 from azula_tpu.utils.pytree import load_state_dict, state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 
 @pytest.fixture(scope="module")
 def reference_cc12m():

@@ -23,6 +23,8 @@ from azula_tpu.models.edm.convert import (
 )
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SONG_SMALL = dict(  # noqa: C408
     img_resolution=16,
     in_channels=3,

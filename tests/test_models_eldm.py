@@ -11,6 +11,8 @@ from azula_tpu.models.eldm.backbone import EDM2Precond, EDM2UNet
 from azula_tpu.models.eldm.convert import build_from_pickle, convert_eldm_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     img_resolution=16,
     img_channels=4,

@@ -11,6 +11,8 @@ from azula_tpu.models.flux.backbone import FluxTransformer
 from azula_tpu.models.flux.convert import convert_flux_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     in_channels=16,
     num_layers=2,

@@ -8,6 +8,8 @@ import pytest
 from azula_tpu.models.gemma import Gemma2TextModel, convert_gemma_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 CFG = dict(  # noqa: C408
     vocab_size=127,
     dim=32,

@@ -14,6 +14,8 @@ from azula_tpu.models.jit.backbone import JIT_CONFIGS, JiT
 from azula_tpu.models.jit.convert import convert_state_dict
 from azula_tpu.utils.pytree import load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     input_size=64,
     patch_size=16,

@@ -12,6 +12,8 @@ from azula_tpu.models.sana.backbone import SanaTransformer
 from azula_tpu.models.sana.convert import convert_sana_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     in_channels=8,
     out_channels=8,

@@ -13,6 +13,8 @@ from azula_tpu.models.sd.backbone import SDUNet
 from azula_tpu.models.sd.convert import convert_unet_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     in_channels=4,
     out_channels=4,

@@ -1,11 +1,14 @@
 r"""Parity of the native T5 encoder against `transformers.T5EncoderModel`
 (real oracle, random weights, offline)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
 from azula_tpu.models.t5 import T5Encoder, convert_t5_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
+
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
 
 CFG = dict(  # noqa: C408
     vocab_size=99,

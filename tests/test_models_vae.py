@@ -9,6 +9,8 @@ import pytest
 from azula_tpu.models.autoencoder import AutoencoderKL, convert_vae_state_dict
 from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 SMALL = dict(  # noqa: C408
     in_channels=3,
     latent_channels=4,

@@ -227,3 +227,46 @@ def test_dp_tp_train_step(devices, key):
         losses.append(loss)
 
     assert all(jnp.isfinite(l) for l in losses)
+
+
+def test_make_hybrid_mesh():
+    r"""The ('replica', 'data', 'model') multi-slice mesh constructs on the
+    virtual device set and runs a dp x tp collective program (SURVEY §2.8)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from azula_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(replica=2, data=2, model=2)
+
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert mesh.devices.shape == (2, 2, 2)
+
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(("replica", "data"), "model"),
+        out_specs=P(("replica", "data"), None),
+    )
+    def rowsum(x):
+        return jax.lax.psum(x, "model")
+
+    x = jnp.arange(8.0 * 4).reshape(8, 4)
+    out = jax.jit(rowsum)(x)
+
+    # psum over 'model' adds the two column shards elementwise
+    assert out.shape == (8, 2)
+    assert jnp.allclose(out, x[:, :2] + x[:, 2:])
+
+
+def test_make_hybrid_mesh_defaults():
+    from azula_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(model=2)  # single process -> replica 1
+
+    assert mesh.devices.shape == (1, 4, 2)

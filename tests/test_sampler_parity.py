@@ -26,6 +26,8 @@ from azula_tpu.sample import (
 
 from dummies import Dummy
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 CHANNELS = 5
 STEPS = 32
 

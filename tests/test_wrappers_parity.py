@@ -16,6 +16,8 @@ from azula_tpu.models.sana import SanaDenoiser
 from azula_tpu.models.sd import StableDenoiser, sd_sigmas
 from azula_tpu.nn.module import Module
 
+pytestmark = pytest.mark.parity  # golden-parity tier (CI runs it separately)
+
 A, B_, C_ = 0.7, 0.013, 0.21  # arbitrary dummy-backbone constants
 
 
