@@ -57,11 +57,16 @@ def _xla_attention(
     )
 
 
-def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+def _pallas_attention(
+    q: Array, k: Array, v: Array, scale: float
+) -> tuple[Array, Array]:
     r"""Flash attention forward as a Pallas TPU kernel.
 
     Shapes: q, k, v are (B, H, L, D). Grid is (B * H, L / BLOCK_Q); each program
     holds one query block and the full K/V of its (batch, head) in VMEM.
+
+    Returns the output and the per-query log-sum-exp (B, H, L) in float32 —
+    the residual the backward kernels need to rebuild the softmax blockwise.
     """
 
     from jax.experimental import pallas as pl
@@ -74,7 +79,7 @@ def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     kf = k.reshape(B * H, L, D)
     vf = v.reshape(B * H, L, D)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
         qb = q_ref[0]  # (BLOCK_Q, D)
         kb = k_ref[0]  # (L, D)
         vb = v_ref[0]  # (L, D)
@@ -95,8 +100,10 @@ def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
         o_ref[0] = jnp.dot(w, vb, preferred_element_type=jnp.float32).astype(
             o_ref.dtype
         )
+        # LSE is written lane-replicated (BLOCK_Q, 128) to satisfy TPU tiling
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log(d), lse_ref.shape[1:])
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, pl.cdiv(L, BLOCK_Q)),
         in_specs=[
@@ -106,10 +113,18 @@ def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
             pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BLOCK_Q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, L, 128), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * L * L * D,
             bytes_accessed=3 * B * H * L * D * q.dtype.itemsize
@@ -118,10 +133,12 @@ def _pallas_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
         ),
     )(qf, kf, vf)
 
-    return out.reshape(B, H, L, D)
+    return out.reshape(B, H, L, D), lse
 
 
-def _pallas_attention_blocked(q: Array, k: Array, v: Array, scale: float) -> Array:
+def _pallas_attention_blocked(
+    q: Array, k: Array, v: Array, scale: float
+) -> tuple[Array, Array]:
     r"""Flash attention with K/V blocking and online softmax, for sequences too
     long to keep K/V resident in VMEM.
 
@@ -144,7 +161,7 @@ def _pallas_attention_blocked(q: Array, k: Array, v: Array, scale: float) -> Arr
     kf = k.reshape(B * H, L, D)
     vf = v.reshape(B * H, L, D)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
         kb = pl.program_id(2)
 
         @pl.when(kb == 0)
@@ -182,8 +199,11 @@ def _pallas_attention_blocked(q: Array, k: Array, v: Array, scale: float) -> Arr
         @pl.when(kb == nk - 1)
         def _():
             o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+            lse_ref[0] = jnp.broadcast_to(
+                m_scr[:] + jnp.log(l_scr[:]), lse_ref.shape[1:]
+            )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, nq, nk),
         in_specs=[
@@ -197,10 +217,18 @@ def _pallas_attention_blocked(q: Array, k: Array, v: Array, scale: float) -> Arr
                 (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, BLOCK_Q, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, L, 128), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
             pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
@@ -216,7 +244,7 @@ def _pallas_attention_blocked(q: Array, k: Array, v: Array, scale: float) -> Arr
         ),
     )(qf, kf, vf)
 
-    return out.reshape(B, H, L, D)
+    return out.reshape(B, H, L, D), lse
 
 
 # Above this sequence length, K/V no longer stay resident in VMEM and the
@@ -245,21 +273,190 @@ def _pallas_dispatch(q, k, v, scale):
         return _pallas_attention(q, k, v, scale)
 
 
+def _bwd_block(L: int) -> int:
+    for blk in (512, 256, 128):
+        if L % blk == 0:
+            return blk
+    return L
+
+
+def _pallas_attention_bwd(
+    q: Array, k: Array, v: Array, o: Array, lse: Array, g: Array, scale: float
+) -> tuple[Array, Array, Array]:
+    r"""Flash attention backward as two Pallas TPU kernels.
+
+    Standard FlashAttention-2 recipe: the softmax is rebuilt blockwise from the
+    saved log-sum-exp, `delta = rowsum(dO * O)` is folded in-kernel, and the
+    L x L weight matrix is never materialized in HBM. The dQ kernel accumulates
+    over sequential key blocks; the dK/dV kernel over sequential query blocks.
+    Replaces the reference's cuDNN SDPA backward (`azula/nn/attention.py:98-104`).
+    """
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    BQ = _bwd_block(L)
+    BK = _bwd_block(L)
+    nq = L // BQ
+    nk = L // BK
+
+    qf = q.reshape(B * H, L, D)
+    kf = k.reshape(B * H, L, D)
+    vf = v.reshape(B * H, L, D)
+    of = o.reshape(B * H, L, D)
+    gf = g.reshape(B * H, L, D).astype(q.dtype)
+    lsef = lse  # (B*H, L, 128), lane-replicated (see forward kernels)
+
+    def _p_ds(q_blk, g_blk, o_blk, k_blk, v_blk, lse_blk):
+        r"""Rebuilds P and dS for one (query, key) block pair, in float32."""
+
+        s = jax.lax.dot_general(
+            q_blk, k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        # lse arrives lane-replicated (BQ, 128); any single lane is the value
+        p = jnp.exp(s - lse_blk[:, 0:1])
+
+        dp = jax.lax.dot_general(
+            g_blk, v_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(
+            g_blk.astype(jnp.float32) * o_blk.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        ds = p * (dp - delta) * scale
+        return p, ds
+
+    def dq_kernel(q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dq_ref, acc):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        _, ds = _p_ds(q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0])
+
+        acc[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), k_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(j == nk - 1)
+        def _():
+            dq_ref[0] = acc[:].astype(dq_ref.dtype)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, BQ, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * B * H * L * L * D,
+            bytes_accessed=5 * B * H * L * D * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(qf, kf, vf, of, gf, lsef)
+
+    def dkv_kernel(q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref, kacc, vacc):
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _():
+            kacc[:] = jnp.zeros_like(kacc)
+            vacc[:] = jnp.zeros_like(vacc)
+
+        p, ds = _p_ds(q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0])
+
+        vacc[:] += jax.lax.dot_general(
+            p.astype(q_ref.dtype), g_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        kacc[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == nq - 1)
+        def _():
+            dk_ref[0] = kacc[:].astype(dk_ref.dtype)
+            dv_ref[0] = vacc[:].astype(dv_ref.dtype)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B * H, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, BQ, 128), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BK, D), jnp.float32),
+            pltpu.VMEM((BK, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * L * L * D,
+            bytes_accessed=5 * B * H * L * D * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(qf, kf, vf, of, gf, lsef)
+
+    shape = (B, H, L, D)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
-    return _pallas_dispatch(q, k, v, scale)
+    return _pallas_dispatch(q, k, v, scale)[0]
 
 
 def _flash_fwd(q, k, v, scale):
-    return _pallas_dispatch(q, k, v, scale), (q, k, v)
+    o, lse = _pallas_dispatch(q, k, v, scale)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, residuals, g):
-    # The backward pass recomputes the XLA forward and differentiates it; the
-    # benchmark-critical sampling path is forward-only and stays on the kernel.
-    q, k, v = residuals
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale=scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = residuals
+    return _pallas_attention_bwd(q, k, v, o, lse, g, scale)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

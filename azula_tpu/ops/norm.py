@@ -49,10 +49,23 @@ def group_norm(
     # normalization as one fused multiply-add in the activation dtype: the
     # full-size tensor is never materialized in float32, halving HBM traffic
     # for bf16 activations.
-    g = x.astype(jnp.float32).reshape(B, -1, groups, C // groups)
+    #
+    # The statistics reduce over the *spatial* (major) axes first, keeping the
+    # channel (lane) axis intact: reducing a (B, HW, G, C/G) view over its
+    # split minor dims forces XLA into layout copies that dominate the UNet
+    # profile (measured ~50% of the ADM-256 forward on v5e); the (B, HW, C)
+    # -> (B, C) sum/sumsq pair fuses into a single bandwidth-bound pass, and
+    # the per-group fold then runs on a tiny (B, C) array.
+    xf = x.reshape(B, -1, C).astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)  # (B, C)
+    s2 = jnp.sum(jnp.square(xf), axis=1)  # (B, C)
 
-    mean = g.mean(axis=(1, 3))  # (B, G)
-    var = g.var(axis=(1, 3))
+    n = (x.size // B) // groups
+    gs1 = jnp.sum(s1.reshape(B, groups, -1), axis=-1)  # (B, G)
+    gs2 = jnp.sum(s2.reshape(B, groups, -1), axis=-1)
+
+    mean = gs1 / n
+    var = jnp.maximum(gs2 / n - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + eps)
 
     # Broadcast per-group stats to per-channel (B, C)

@@ -61,21 +61,37 @@ def test_conv3x3_matches_xla(shape, key):
 
 
 @requires_tpu
-def test_flash_attention_grads(key):
+@pytest.mark.parametrize(
+    "L,D,dtype",
+    [
+        (128, 64, jnp.float32),
+        (512, 64, jnp.float32),
+        (1024, 128, jnp.bfloat16),
+        (4096, 64, jnp.bfloat16),  # blocked (online-softmax) forward path
+    ],
+)
+def test_flash_attention_grads(L, D, dtype, key):
+    r"""The Pallas flash backward (dQ / dKV kernels) matches the XLA VJP."""
+
     k1, k2, k3 = jax.random.split(key, 3)
 
-    q = jax.random.normal(k1, (1, 2, 128, 64))
-    k = jax.random.normal(k2, (1, 2, 128, 64))
-    v = jax.random.normal(k3, (1, 2, 128, 64))
+    q = jax.random.normal(k1, (1, 2, L, D), dtype=dtype)
+    k = jax.random.normal(k2, (1, 2, L, D), dtype=dtype)
+    v = jax.random.normal(k3, (1, 2, L, D), dtype=dtype)
 
     def loss(q, k, v):
-        return jnp.sum(dot_product_attention(q, k, v) ** 2)
+        return jnp.sum(dot_product_attention(q, k, v).astype(jnp.float32) ** 2)
 
     def loss_ref(q, k, v):
-        return jnp.sum(_xla_attention(q, k, v) ** 2)
+        return jnp.sum(_xla_attention(q, k, v).astype(jnp.float32) ** 2)
 
-    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-    refs = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    refs = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
 
+    # f32 tolerance reflects MXU matmul precision (bf16 passes) in the
+    # blockwise softmax recomputation — inherent to flash backward on TPU
+    tol = 5e-3 if dtype == jnp.float32 else 0.1
     for g, r in zip(grads, refs):
-        assert jnp.max(jnp.abs(g - r)) < 1e-3
+        scale = jnp.max(jnp.abs(r.astype(jnp.float32))) + 1e-6
+        err = jnp.max(jnp.abs(g.astype(jnp.float32) - r.astype(jnp.float32))) / scale
+        assert err < tol, err
