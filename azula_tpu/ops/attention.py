@@ -57,8 +57,26 @@ def _xla_attention(
     )
 
 
+# How a flattened (B*H,) program index maps into a broadcast bias of
+# shape (Gm, L, L): "full" (Gm == B*H), "batch" (Gm == B, heads broadcast),
+# "head" (Gm == H, batch broadcast), "one" (Gm == 1).
+def _bias_group_fn(mode: str, H: int):
+    if mode == "full":
+        return lambda b: b
+    if mode == "batch":
+        return lambda b: b // H
+    if mode == "head":
+        return lambda b: b % H
+    return lambda b: 0
+
+
 def _pallas_attention(
-    q: Array, k: Array, v: Array, scale: float
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    bias: Array | None = None,
+    bias_mode: str = "one",
 ) -> tuple[Array, Array]:
     r"""Flash attention forward as a Pallas TPU kernel.
 
@@ -79,7 +97,13 @@ def _pallas_attention(
     kf = k.reshape(B * H, L, D)
     vf = v.reshape(B * H, L, D)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+    def kernel(*refs):
+        if bias is None:
+            q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+            b_ref = None
+        else:
+            q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref = refs
+
         qb = q_ref[0]  # (BLOCK_Q, D)
         kb = k_ref[0]  # (L, D)
         vb = v_ref[0]  # (L, D)
@@ -92,6 +116,9 @@ def _pallas_attention(
         )
         logits = logits * scale
 
+        if b_ref is not None:
+            logits = logits + b_ref[0].astype(jnp.float32)
+
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         d = jnp.sum(p, axis=-1, keepdims=True)
@@ -103,16 +130,29 @@ def _pallas_attention(
         # LSE is written lane-replicated (BLOCK_Q, 128) to satisfy TPU tiling
         lse_ref[0] = jnp.broadcast_to(m + jnp.log(d), lse_ref.shape[1:])
 
+    gfn = _bias_group_fn(bias_mode, H)
+    in_specs = [
+        pl.BlockSpec(
+            (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, BLOCK_Q, L),
+                lambda b, i: (gfn(b), i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bias)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, pl.cdiv(L, BLOCK_Q)),
-        in_specs=[
-            pl.BlockSpec(
-                (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
@@ -131,13 +171,18 @@ def _pallas_attention(
             + B * H * L * D * q.dtype.itemsize,
             transcendentals=B * H * L * L,
         ),
-    )(qf, kf, vf)
+    )(*operands)
 
     return out.reshape(B, H, L, D), lse
 
 
 def _pallas_attention_blocked(
-    q: Array, k: Array, v: Array, scale: float
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    bias: Array | None = None,
+    bias_mode: str = "one",
 ) -> tuple[Array, Array]:
     r"""Flash attention with K/V blocking and online softmax, for sequences too
     long to keep K/V resident in VMEM.
@@ -161,7 +206,13 @@ def _pallas_attention_blocked(
     kf = k.reshape(B * H, L, D)
     vf = v.reshape(B * H, L, D)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
+    def kernel(*refs):
+        if bias is None:
+            q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+            b_ref = None
+        else:
+            q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+
         kb = pl.program_id(2)
 
         @pl.when(kb == 0)
@@ -181,6 +232,9 @@ def _pallas_attention_blocked(
             preferred_element_type=jnp.float32,
         )
         logits = logits * scale
+
+        if b_ref is not None:
+            logits = logits + b_ref[0].astype(jnp.float32)
 
         m_prev = m_scr[:]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
@@ -203,20 +257,33 @@ def _pallas_attention_blocked(
                 m_scr[:] + jnp.log(l_scr[:]), lse_ref.shape[1:]
             )
 
+    gfn = _bias_group_fn(bias_mode, H)
+    in_specs = [
+        pl.BlockSpec(
+            (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = [qf, kf, vf]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, BLOCK_Q, BLOCK_K),
+                lambda b, i, j: (gfn(b), i, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bias)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, nq, nk),
-        in_specs=[
-            pl.BlockSpec(
-                (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BLOCK_K, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
@@ -242,7 +309,7 @@ def _pallas_attention_blocked(
             bytes_accessed=4 * B * H * L * D * q.dtype.itemsize,
             transcendentals=B * H * L * L,
         ),
-    )(qf, kf, vf)
+    )(*operands)
 
     return out.reshape(B, H, L, D), lse
 
@@ -253,24 +320,63 @@ _FULL_KV_MAX_L = 2048
 
 
 def _use_pallas(q: Array, mask, dropout_rate: float) -> bool:
-    if mask is not None or dropout_rate > 0:
+    if dropout_rate > 0:
         return False
     if jax.default_backend() != "tpu":
         return False
     if q.ndim != 4:
         return False
 
-    L, D = q.shape[-2], q.shape[-1]
+    B, H, L, D = q.shape
 
     # Lane/sublane alignment; small or ragged shapes fall back to XLA.
-    return L >= 128 and L % 128 == 0 and D % 64 == 0 and D <= 256
+    if not (L >= 128 and L % 128 == 0 and D % 64 == 0 and D <= 256):
+        return False
+
+    if mask is not None:
+        # Boolean masks (padding / causal) are folded into the kernels as an
+        # additive bias. Float (additive) masks keep the XLA path: their
+        # gradient would silently be dropped by the flash backward.
+        if mask.dtype != jnp.bool_ or mask.ndim > 4:
+            return False
+        shp = (1,) * (4 - mask.ndim) + tuple(mask.shape)
+        if shp[2:] != (L, L):
+            return False
+        if shp[0] not in (1, B) or shp[1] not in (1, H):
+            return False
+
+    return True
 
 
-def _pallas_dispatch(q, k, v, scale):
+_MASKED_OUT = -1e30  # large-negative logit for masked positions (exp -> 0)
+
+
+def _mask_to_bias(mask: Array, q: Array) -> tuple[Array, str]:
+    r"""Folds a boolean mask (broadcastable to (B, H, L, L)) into a flattened
+    (Gm, L, L) additive bias plus its program-index broadcast mode."""
+
+    B, H, L, _ = q.shape
+
+    shp = (1,) * (4 - mask.ndim) + tuple(mask.shape)
+    m = mask.reshape(shp)
+    Bm, Hm = shp[0], shp[1]
+
+    mode = {
+        (True, True): "full",
+        (True, False): "batch",
+        (False, True): "head",
+        (False, False): "one",
+    }[(Bm > 1, Hm > 1)]
+
+    bias = jnp.where(m, 0.0, _MASKED_OUT).astype(q.dtype)
+    return bias.reshape(Bm * Hm, L, L), mode
+
+
+def _pallas_dispatch(q, k, v, scale, bias=None, bias_mode="one"):
     if q.shape[-2] > _FULL_KV_MAX_L:
-        return _pallas_attention_blocked(q, k, v, scale)
+        return _pallas_attention_blocked(q, k, v, scale, bias, bias_mode)
     else:
-        return _pallas_attention(q, k, v, scale)
+        return _pallas_attention(q, k, v, scale, bias, bias_mode)
 
 
 def _bwd_block(L: int) -> int:
@@ -281,7 +387,15 @@ def _bwd_block(L: int) -> int:
 
 
 def _pallas_attention_bwd(
-    q: Array, k: Array, v: Array, o: Array, lse: Array, g: Array, scale: float
+    q: Array,
+    k: Array,
+    v: Array,
+    o: Array,
+    lse: Array,
+    g: Array,
+    scale: float,
+    bias: Array | None = None,
+    bias_mode: str = "one",
 ) -> tuple[Array, Array, Array]:
     r"""Flash attention backward as two Pallas TPU kernels.
 
@@ -308,7 +422,7 @@ def _pallas_attention_bwd(
     gf = g.reshape(B * H, L, D).astype(q.dtype)
     lsef = lse  # (B*H, L, 128), lane-replicated (see forward kernels)
 
-    def _p_ds(q_blk, g_blk, o_blk, k_blk, v_blk, lse_blk):
+    def _p_ds(q_blk, g_blk, o_blk, k_blk, v_blk, lse_blk, b_blk):
         r"""Rebuilds P and dS for one (query, key) block pair, in float32."""
 
         s = jax.lax.dot_general(
@@ -316,6 +430,9 @@ def _pallas_attention_bwd(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+
+        if b_blk is not None:
+            s = s + b_blk.astype(jnp.float32)
 
         # lse arrives lane-replicated (BQ, 128); any single lane is the value
         p = jnp.exp(s - lse_blk[:, 0:1])
@@ -332,14 +449,23 @@ def _pallas_attention_bwd(
         ds = p * (dp - delta) * scale
         return p, ds
 
-    def dq_kernel(q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dq_ref, acc):
+    def dq_kernel(*refs):
+        if bias is None:
+            q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dq_ref, acc = refs
+            b_ref = None
+        else:
+            q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, b_ref, dq_ref, acc = refs
+
         j = pl.program_id(2)
 
         @pl.when(j == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
 
-        _, ds = _p_ds(q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0])
+        _, ds = _p_ds(
+            q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0],
+            None if b_ref is None else b_ref[0],
+        )
 
         acc[:] += jax.lax.dot_general(
             ds.astype(q_ref.dtype), k_ref[0],
@@ -351,19 +477,32 @@ def _pallas_attention_bwd(
         def _():
             dq_ref[0] = acc[:].astype(dq_ref.dtype)
 
+    gfn = _bias_group_fn(bias_mode, H)
+    dq_in_specs = [
+        pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BK, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BK, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, BQ, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    dq_operands = [qf, kf, vf, of, gf, lsef]
+    if bias is not None:
+        dq_in_specs.append(
+            pl.BlockSpec(
+                (1, BQ, BK),
+                lambda b, i, j: (gfn(b), i, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        dq_operands.append(bias)
+
     dq = pl.pallas_call(
         dq_kernel,
         grid=(B * H, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, BQ, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec(
             (1, BQ, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
         ),
@@ -377,9 +516,16 @@ def _pallas_attention_bwd(
             bytes_accessed=5 * B * H * L * D * q.dtype.itemsize,
             transcendentals=B * H * L * L,
         ),
-    )(qf, kf, vf, of, gf, lsef)
+    )(*dq_operands)
 
-    def dkv_kernel(q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref, kacc, vacc):
+    def dkv_kernel(*refs):
+        if bias is None:
+            q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref, kacc, vacc = refs
+            b_ref = None
+        else:
+            (q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, b_ref,
+             dk_ref, dv_ref, kacc, vacc) = refs
+
         i = pl.program_id(2)
 
         @pl.when(i == 0)
@@ -387,7 +533,10 @@ def _pallas_attention_bwd(
             kacc[:] = jnp.zeros_like(kacc)
             vacc[:] = jnp.zeros_like(vacc)
 
-        p, ds = _p_ds(q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0])
+        p, ds = _p_ds(
+            q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0],
+            None if b_ref is None else b_ref[0],
+        )
 
         vacc[:] += jax.lax.dot_general(
             p.astype(q_ref.dtype), g_ref[0],
@@ -405,19 +554,31 @@ def _pallas_attention_bwd(
             dk_ref[0] = kacc[:].astype(dk_ref.dtype)
             dv_ref[0] = vacc[:].astype(dv_ref.dtype)
 
+    dkv_in_specs = [
+        pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, BQ, 128), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    dkv_operands = [qf, kf, vf, of, gf, lsef]
+    if bias is not None:
+        dkv_in_specs.append(
+            pl.BlockSpec(
+                (1, BQ, BK),
+                lambda b, j, i: (gfn(b), i, j),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        dkv_operands.append(bias)
+
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(B * H, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, D), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, BQ, 128), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=(
             pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BK, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
@@ -438,7 +599,7 @@ def _pallas_attention_bwd(
             bytes_accessed=5 * B * H * L * D * q.dtype.itemsize,
             transcendentals=B * H * L * L,
         ),
-    )(qf, kf, vf, of, gf, lsef)
+    )(*dkv_operands)
 
     shape = (B, H, L, D)
     return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
@@ -460,6 +621,29 @@ def _flash_bwd(scale, residuals, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_biased(
+    q: Array, k: Array, v: Array, bias: Array, scale: float, bias_mode: str
+) -> Array:
+    return _pallas_dispatch(q, k, v, scale, bias, bias_mode)[0]
+
+
+def _flash_biased_fwd(q, k, v, bias, scale, bias_mode):
+    o, lse = _pallas_dispatch(q, k, v, scale, bias, bias_mode)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _flash_biased_bwd(scale, bias_mode, residuals, g):
+    q, k, v, bias, o, lse = residuals
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, o, lse, g, scale, bias, bias_mode)
+    # The bias is derived from a boolean mask (see _use_pallas), so there is
+    # no gradient path through it; zeros keep custom_vjp's signature happy.
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_biased.defvjp(_flash_biased_fwd, _flash_biased_bwd)
 
 
 def dot_product_attention(
@@ -514,6 +698,9 @@ def dot_product_attention(
         return jnp.einsum("...qk,...kd->...qd", weights.astype(q.dtype), v)
 
     if _use_pallas(q, mask, dropout_rate):
-        return _flash(q, k, v, scale)
+        if mask is None:
+            return _flash(q, k, v, scale)
+        bias, mode = _mask_to_bias(mask, q)
+        return _flash_biased(q, k, v, bias, scale, mode)
 
     return _xla_attention(q, k, v, mask=mask, scale=scale)

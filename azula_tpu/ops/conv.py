@@ -1,21 +1,22 @@
 r"""Direct 3x3 convolution Pallas kernel (experimental — not the default).
 
-XLA's TPU convolution for the UNet workhorse shapes (3x3, stride 1, SAME,
-channels-last) reaches ~40% of MXU peak on v5e despite an arithmetic intensity
-of ~1000 FLOP/byte. This kernel keeps an input row-band resident in VMEM
-(manual HBM DMA) and accumulates the convolution as 9 full-width
-(TH·Wp, C) x (C, K) matmuls in float32 with lane-aligned rolls for the column
-shifts — zero patch materialization.
+This kernel keeps an input row-band resident in VMEM (manual HBM DMA) and
+accumulates the convolution as 9 full-width (TH·Wp, C) x (C, K) matmuls in
+float32 with lane-aligned rolls for the column shifts — zero patch
+materialization.
 
-Measured on v5e (bf16, B=8), with double-buffered band DMA: 79.9 TFLOP/s at
-256x256/C=256 vs XLA's 80.9 (parity; the non-buffered version measured 70.7,
-confirming DMA overlap was the gap); XLA stays ahead at the small-spatial
-levels (32.7 vs 36.8 at 32x32/C=1024). XLA therefore remains the layer
-default. Numerics verified on-device against the XLA convolution
-(tests/test_ops_tpu.py).
+Measured honestly (r2, device-side fori_loop timing with a value fetch —
+`block_until_ready` does not block on the remote transport, which silently
+inflated the round-1 numbers): at 256x256/C=256, bf16, B=8 this kernel
+reaches 89 TFLOP/s vs the XLA conv primitive's 128 TFLOP/s, and an
+MXU-only probe of the same matmul structure caps at ~86 — the 9-matmul
+band decomposition itself, not the rolls, is what trails XLA's native conv
+emitter. XLA therefore remains the layer default; `tools/conv_micro.py`
+holds the variant suite (K=3C / K=9C VMEM im2col and input-roll layouts,
+all within noise of the probe ceiling).
 
-Forward-only (the benchmark-critical sampling path); gradients fall back to
-the XLA convolution through a custom VJP, like the flash-attention kernel.
+Forward-only; gradients fall back to the XLA convolution through a custom
+VJP, like the flash-attention kernel.
 """
 
 from __future__ import annotations

@@ -61,6 +61,49 @@ def test_conv3x3_matches_xla(shape, key):
 
 
 @requires_tpu
+@pytest.mark.parametrize("L", [256, 4096])
+@pytest.mark.parametrize("mask_kind", ["causal", "padding", "full4d"])
+def test_flash_attention_masked(L, mask_kind, key):
+    r"""Boolean masks fold into the flash kernels as an additive bias; values
+    and gradients match the XLA masked path."""
+
+    from azula_tpu.ops.attention import _use_pallas
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, H, D = 2, 4, 64
+
+    q = jax.random.normal(k1, (B, H, L, D), jnp.float32)
+    k = jax.random.normal(k2, (B, H, L, D), jnp.float32)
+    v = jax.random.normal(k3, (B, H, L, D), jnp.float32)
+
+    if mask_kind == "causal":
+        mask = jnp.tril(jnp.ones((L, L), bool))
+    elif mask_kind == "padding":
+        keep = jnp.arange(L) < (3 * L) // 4
+        mask = jnp.broadcast_to(keep[None, None, None, :], (B, 1, L, L))
+    else:
+        mask = jax.random.bernoulli(jax.random.fold_in(key, 7), 0.9, (B, H, L, L))
+        mask = mask | jnp.eye(L, dtype=bool)  # no fully-masked rows
+
+    assert _use_pallas(q, mask, 0.0)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, mask=mask).astype(jnp.float32) ** 2)
+
+    out = jax.jit(lambda q, k, v: dot_product_attention(q, k, v, mask=mask))(q, k, v)
+    ref = jax.jit(lambda q, k, v: _xla_attention(q, k, v, mask=mask))(q, k, v)
+    # rows attending to few keys amplify MXU logit noise into weight noise
+    assert jnp.max(jnp.abs(out - ref)) < 1e-2
+
+    grads = jax.jit(jax.grad(lambda *a: loss(dot_product_attention, *a), argnums=(0, 1, 2)))(q, k, v)
+    refs = jax.jit(jax.grad(lambda *a: loss(_xla_attention, *a), argnums=(0, 1, 2)))(q, k, v)
+    for g, r in zip(grads, refs):
+        scale = jnp.max(jnp.abs(r)) + 1e-6
+        # MXU matmul precision (bf16 passes) in the softmax recompute
+        assert jnp.max(jnp.abs(g - r)) / scale < 1e-2
+
+
+@requires_tpu
 @pytest.mark.parametrize(
     "L,D,dtype",
     [
