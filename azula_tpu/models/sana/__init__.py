@@ -6,7 +6,9 @@ Capability parity with the reference `azula/plugins/sana/__init__.py`: the
 wrapper, and the Gemma `TextEncoder` with the hardcoded prompt-enhancement
 instruction prefix and last-token selection.
 
-Backbone-agnostic; pretrained loading converts through `diffusers` (optional).
+Backbone-agnostic; pretrained loading is fully native (linear-attention DiT,
+Gemma 2 encoder, and DC-AE latent autoencoder all convert from safetensors
+without torch or diffusers).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ __all__ = [
     "load_model",
 ]
 
+import jax
 import jax.numpy as jnp
 
 from collections.abc import Sequence
@@ -212,9 +215,8 @@ def load_model(name: str, dtype=jnp.bfloat16):
     r"""Loads a pretrained Sana denoiser with native JAX backbones
     (reference `sana/__init__.py:237-277`, minus the diffusers dependency).
 
-    The transformer and the Gemma text encoder convert natively; the DC-AE
-    latent autoencoder is not reimplemented yet (no local oracle for its
-    EfficientViT blocks), so the returned `AutoEncoder` raises on use.
+    The transformer, the Gemma text encoder, and the DC-AE latent autoencoder
+    all convert natively from the checkpoint safetensors.
 
     Arguments:
         name: The pretrained model name (see `cards.yaml`).
@@ -226,11 +228,11 @@ def load_model(name: str, dtype=jnp.bfloat16):
 
     from transformers import GemmaTokenizerFast
 
-    from ...debug import RaiseMock
     from ...hub import download
     from ...utils.pytree import filter_eval_shape, load_state_dict
     from ..gemma import Gemma2TextModel, convert_gemma_state_dict
     from ..utils import load_hub_safetensors
+    from .autoencoder import AutoencoderDC, convert_dcae_state_dict
     from .backbone import SanaTransformer
     from .convert import convert_sana_state_dict
 
@@ -259,14 +261,10 @@ def load_model(name: str, dtype=jnp.bfloat16):
 
     textencoder = TextEncoder(gemma=gemma.astype(jnp.bfloat16), tokenizer=tokenizer)
 
-    autoencoder = AutoEncoder(
-        ae=RaiseMock(
-            name="AutoencoderDC",
-            error=NotImplementedError(
-                "the DC-AE latent autoencoder is not natively implemented yet"
-            ),
-        ),
-        scale=0.41407,
-    )
+    ae_sd = load_hub_safetensors(repo, "vae/diffusion_pytorch_model", None)
+    dcae = filter_eval_shape(AutoencoderDC, key=jax.random.key(0))
+    dcae = load_state_dict(dcae, convert_dcae_state_dict(dcae, ae_sd))
+
+    autoencoder = AutoEncoder(ae=dcae, scale=0.41407)
 
     return denoiser, autoencoder, textencoder
