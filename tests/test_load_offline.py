@@ -1,0 +1,377 @@
+r"""Offline end-to-end `load_model` tests for the safetensors families.
+
+The real `load_model` bodies run end-to-end — cards lookup, safetensors
+reading, eval-shape construction, strict conversion, dtype casts, wrapper
+assembly — with the network boundary (hub downloads) and the full-size
+architecture tables monkeypatched down to tiny twin-backed configurations.
+This executes exactly the glue that the per-component parity tests skip
+(reference behavior: `azula/plugins/sd/__init__.py:226-273` and friends).
+"""
+
+import functools
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from types import SimpleNamespace
+
+pytestmark = pytest.mark.parity
+
+
+def _np_sd(torch_module):
+    r"""A torch module's state dict as numpy (the safetensors reader output)."""
+
+    return {
+        k: v.detach().contiguous().numpy() for k, v in torch_module.state_dict().items()
+    }
+
+
+class _StubTokenizer(SimpleNamespace):
+    def __init__(self, **kwargs):
+        super().__init__(model_max_length=77, padding_side="right", **kwargs)
+
+
+CLIP_TINY = dict(  # noqa: C408
+    vocab_size=99,
+    hidden=24,
+    layers=2,
+    heads=4,
+    intermediate=48,
+    max_positions=16,
+    act="quick_gelu",
+)
+
+
+def _tiny_clip_sd():
+    import torch
+
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    torch.manual_seed(1)
+    clip = CLIPTextModel(
+        CLIPTextConfig(
+            vocab_size=CLIP_TINY["vocab_size"],
+            hidden_size=CLIP_TINY["hidden"],
+            num_hidden_layers=CLIP_TINY["layers"],
+            num_attention_heads=CLIP_TINY["heads"],
+            intermediate_size=CLIP_TINY["intermediate"],
+            max_position_embeddings=CLIP_TINY["max_positions"],
+            hidden_act=CLIP_TINY["act"],
+        )
+    )
+    return _np_sd(clip)
+
+
+def test_sd_load_model_offline(monkeypatch, tmp_path):
+    import torch
+    import transformers
+
+    from safetensors.numpy import save_file
+    from torch_twins.sd_unet import UNet2DConditionTwin
+    from torch_twins.vae import AutoencoderKLTwin
+
+    import azula_tpu.models.autoencoder as ae_mod
+    import azula_tpu.models.sd as sd
+    import azula_tpu.models.sd.backbone as sd_backbone
+
+    torch.manual_seed(0)
+
+    unet_cfg = dict(  # noqa: C408
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=24,
+        attention_head_dim=2,
+        cross_attention_levels=(True, False),
+        use_linear_projection=False,
+    )
+    vae_cfg = dict(  # noqa: C408
+        in_channels=3,
+        latent_channels=4,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+    )
+
+    files = {
+        "unet/": _np_sd(UNet2DConditionTwin(**unet_cfg)),
+        "vae/": _np_sd(AutoencoderKLTwin(**vae_cfg)),
+        "text_encoder/": _tiny_clip_sd(),
+    }
+
+    def hub_file(repo, sub):
+        for prefix, sd_np in files.items():
+            if sub.startswith(prefix):
+                path = tmp_path / prefix.strip("/")
+                if not path.exists():
+                    save_file(sd_np, path)
+                return str(path)
+        (tmp_path / "tok").write_text("{}")
+        return str(tmp_path / "tok")
+
+    monkeypatch.setattr(sd, "_hub_file", hub_file)
+    monkeypatch.setattr(sys.modules["transformers"], "CLIPTokenizer", _StubTokenizer)
+    monkeypatch.setattr(
+        sd,
+        "ARCHS",
+        {
+            "sd1": dict(  # noqa: C408
+                unet=dict(  # noqa: C408
+                    cross_attention_dim=24,
+                    attention_head_dim=2,
+                    use_linear_projection=False,
+                ),
+                clip=CLIP_TINY,
+                scale=0.18215,
+            )
+        },
+    )
+    monkeypatch.setattr(
+        sd_backbone,
+        "SDUNet",
+        functools.partial(
+            sd_backbone.SDUNet,
+            in_channels=4,
+            out_channels=4,
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+            cross_attention_levels=(True, False),
+        ),
+    )
+    monkeypatch.setattr(
+        ae_mod, "AutoencoderKL", functools.partial(ae_mod.AutoencoderKL, **vae_cfg)
+    )
+
+    denoiser, autoencoder, textencoder = sd.load_model("sd_1.5", dtype=jnp.float32)
+
+    z_t = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.key(1), (1, 7, 24))
+    q = denoiser(z_t, jnp.full((2,), 0.4), prompt_embeds=ctx)
+    assert q.mean.shape == z_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+    x = jax.random.normal(jax.random.key(2), (1, 32, 32, 3))
+    z = autoencoder.encode(x, key=jax.random.key(3))
+    assert autoencoder.decode(z).shape == x.shape
+
+    assert textencoder.tokenizer.model_max_length == 77
+
+
+def test_flux_load_model_offline(monkeypatch, tmp_path):
+    import torch
+    import transformers
+
+    from torch_twins.flux_mmdit import FluxTransformerTwin
+    from torch_twins.vae import AutoencoderKLTwin
+
+    import azula_tpu.hub as hub
+    import azula_tpu.models.autoencoder as ae_mod
+    import azula_tpu.models.clip as clip_mod
+    import azula_tpu.models.flux as flux
+    import azula_tpu.models.flux.backbone as flux_backbone
+    import azula_tpu.models.t5 as t5_mod
+    import azula_tpu.models.utils as mutils
+
+    from transformers import T5Config, T5EncoderModel
+
+    torch.manual_seed(0)
+
+    flux_cfg = dict(  # noqa: C408
+        in_channels=16,
+        num_layers=2,
+        num_single_layers=2,
+        attention_head_dim=24,
+        num_attention_heads=2,
+        joint_attention_dim=32,
+        pooled_projection_dim=24,
+        axes_dims_rope=(8, 8, 8),
+    )
+    t5_cfg = dict(  # noqa: C408
+        vocab_size=99, dim=32, heads=4, head_dim=8, ff_dim=64, layers=2
+    )
+
+    t5 = T5EncoderModel(
+        T5Config(
+            vocab_size=t5_cfg["vocab_size"],
+            d_model=t5_cfg["dim"],
+            num_heads=t5_cfg["heads"],
+            d_kv=t5_cfg["head_dim"],
+            d_ff=t5_cfg["ff_dim"],
+            num_layers=t5_cfg["layers"],
+            feed_forward_proj="gated-gelu",
+        )
+    )
+
+    sds = {
+        "transformer/": _np_sd(FluxTransformerTwin(**flux_cfg, guidance_embeds=True)),
+        "vae/": _np_sd(
+            AutoencoderKLTwin(
+                in_channels=3,
+                latent_channels=16,
+                block_out_channels=(32, 64),
+                layers_per_block=1,
+                use_quant_conv=False,
+            )
+        ),
+        "text_encoder/": _tiny_clip_sd(),
+        "text_encoder_2/": _np_sd(t5),
+    }
+
+    def fake_load(repo, name, variant=None):
+        for prefix, sd_np in sds.items():
+            if name.startswith(prefix):
+                return sd_np
+        raise KeyError(name)
+
+    (tmp_path / "tok").write_text("{}")
+
+    monkeypatch.setattr(mutils, "load_hub_safetensors", fake_load)
+    monkeypatch.setattr(hub, "download", lambda url, **kw: str(tmp_path / "tok"))
+    monkeypatch.setattr(sys.modules["transformers"], "CLIPTokenizer", _StubTokenizer)
+    monkeypatch.setattr(sys.modules["transformers"], "T5TokenizerFast", _StubTokenizer)
+    monkeypatch.setattr(
+        flux_backbone,
+        "FluxTransformer",
+        functools.partial(flux_backbone.FluxTransformer, **flux_cfg),
+    )
+    monkeypatch.setattr(
+        ae_mod,
+        "AutoencoderKL",
+        functools.partial(
+            ae_mod.AutoencoderKL,
+            in_channels=3,
+            block_out_channels=(32, 64),
+            layers_per_block=1,
+        ),
+    )
+    monkeypatch.setattr(
+        clip_mod,
+        "CLIPTextEncoder",
+        functools.partial(clip_mod.CLIPTextEncoder, **CLIP_TINY),
+    )
+    monkeypatch.setattr(
+        t5_mod, "T5Encoder", functools.partial(t5_mod.T5Encoder, **t5_cfg)
+    )
+
+    denoiser, autoencoder, textencoder = flux.load_model("flux_1_dev", dtype=jnp.float32)
+
+    # packed latent: 4 * 16 = 64 channels per 2x2 patch... here 4 * 4 = 16
+    z_t = jax.random.normal(jax.random.key(0), (2, 4, 4, 16))
+    clip_pooled = jax.random.normal(jax.random.key(1), (1, 24))
+    t5_seq = jax.random.normal(jax.random.key(2), (1, 6, 32))
+    q = denoiser(z_t, jnp.full((2,), 0.3), prompt_clip=clip_pooled, prompt_t5=t5_seq)
+    assert q.mean.shape == z_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+
+def test_sana_load_model_offline(monkeypatch, tmp_path):
+    import torch
+    import transformers
+
+    from torch_twins.dc_ae import AutoencoderDCTwin
+    from torch_twins.sana_dit import SanaTransformerTwin
+
+    import azula_tpu.hub as hub
+    import azula_tpu.models.gemma as gemma_mod
+    import azula_tpu.models.sana as sana
+    import azula_tpu.models.sana.autoencoder as sana_ae
+    import azula_tpu.models.utils as mutils
+
+    from transformers import Gemma2Config, Gemma2Model
+
+    torch.manual_seed(0)
+
+    dit_cfg = dict(  # noqa: C408
+        in_channels=8,
+        out_channels=8,
+        num_attention_heads=4,
+        attention_head_dim=8,
+        num_cross_attention_heads=2,
+        cross_attention_head_dim=16,
+        caption_channels=32,
+        num_layers=2,
+        patch_size=1,
+        mlp_ratio=2.5,
+    )
+    gemma_cfg = dict(  # noqa: C408
+        vocab_size=127,
+        dim=32,
+        layers=2,
+        heads=4,
+        kv_heads=2,
+        head_dim=8,
+        intermediate=64,
+        query_pre_attn_scalar=8.0,
+        attn_logit_softcapping=50.0,
+        sliding_window=5,
+    )
+    dcae_cfg = dict(  # noqa: C408
+        in_channels=3,
+        latent_channels=8,
+        block_types=("ResBlock", "EfficientViTBlock"),
+        block_out_channels=(8, 16),
+        encoder_layers_per_block=(1, 1),
+        decoder_layers_per_block=(1, 1),
+        qkv_multiscales=((), (5,)),
+        head_dim=4,
+    )
+
+    gemma = Gemma2Model(
+        Gemma2Config(
+            vocab_size=gemma_cfg["vocab_size"],
+            hidden_size=gemma_cfg["dim"],
+            num_hidden_layers=gemma_cfg["layers"],
+            num_attention_heads=gemma_cfg["heads"],
+            num_key_value_heads=gemma_cfg["kv_heads"],
+            head_dim=gemma_cfg["head_dim"],
+            intermediate_size=gemma_cfg["intermediate"],
+            query_pre_attn_scalar=gemma_cfg["query_pre_attn_scalar"],
+            attn_logit_softcapping=gemma_cfg["attn_logit_softcapping"],
+            sliding_window=gemma_cfg["sliding_window"],
+            attn_implementation="eager",
+        )
+    )
+
+    sds = {
+        "transformer/": _np_sd(SanaTransformerTwin(**dit_cfg)),
+        "text_encoder/": _np_sd(gemma),
+        "vae/": _np_sd(AutoencoderDCTwin(**dcae_cfg)),
+    }
+
+    def fake_load(repo, name, variant=None):
+        for prefix, sd_np in sds.items():
+            if name.startswith(prefix):
+                return sd_np
+        raise KeyError(name)
+
+    (tmp_path / "tok").write_text("{}")
+
+    monkeypatch.setattr(mutils, "load_hub_safetensors", fake_load)
+    monkeypatch.setattr(hub, "download", lambda url, **kw: str(tmp_path / "tok"))
+    monkeypatch.setattr(sys.modules["transformers"], "GemmaTokenizerFast", _StubTokenizer)
+    monkeypatch.setattr(sana, "ARCHS", {"0.6b": dit_cfg, "1.6b": dit_cfg})
+    monkeypatch.setattr(
+        gemma_mod,
+        "Gemma2TextModel",
+        functools.partial(gemma_mod.Gemma2TextModel, **gemma_cfg),
+    )
+    monkeypatch.setattr(
+        sana_ae, "AutoencoderDC", functools.partial(sana_ae.AutoencoderDC, **dcae_cfg)
+    )
+
+    denoiser, autoencoder, textencoder = sana.load_model("sana_0.6b_512", dtype=jnp.float32)
+
+    z_t = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))
+    ctx = jax.random.normal(jax.random.key(1), (1, 6, 32))
+    mask = jnp.ones((1, 6))
+    q = denoiser(z_t, jnp.full((2,), 0.4), prompt_embeds=ctx, prompt_mask=mask)
+    assert q.mean.shape == z_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+    x = jax.random.normal(jax.random.key(2), (1, 16, 16, 3))
+    z = autoencoder.encode(x)
+    assert z.shape == (1, 8, 8, 8)
+    assert autoencoder.decode(z).shape == x.shape
