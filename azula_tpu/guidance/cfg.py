@@ -11,6 +11,9 @@ __all__ = [
     "CFGDenoiser",
 ]
 
+import jax
+import jax.numpy as jnp
+
 from jax import Array
 from typing import Any
 
@@ -23,10 +26,17 @@ class CFGDenoiser(Denoiser):
 
     Arguments:
         denoiser: A denoiser :math:`q_\phi(X \mid X_t)`.
+        batched: Whether to fuse the positive and negative predictions into a
+            single :math:`2B`-batch backbone call instead of two :math:`B`-batch
+            calls. One fused call fetches the weights from HBM once per layer
+            (instead of twice) and runs larger, better-tiled matmuls — usually
+            faster on TPU. Requires the positive and negative conditioning
+            pytrees to have matching structures and shapes.
     """
 
-    def __init__(self, denoiser: Denoiser) -> None:
+    def __init__(self, denoiser: Denoiser, batched: bool = False) -> None:
         self.denoiser = denoiser
+        self.batched = batched
 
     @property
     def schedule(self) -> Schedule:
@@ -54,6 +64,25 @@ class CFGDenoiser(Denoiser):
             The Dirac delta :math:`\delta(X - \mu)` with
             :math:`\mu = (1 + \omega) \mu_\phi(x_t \mid c_+) - \omega \mu_\phi(x_t \mid c_-)`.
         """
+
+        if self.batched and positive.keys() == negative.keys():
+            B = x_t.shape[0]
+
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([jnp.broadcast_to(t, (B,))] * 2, axis=0)
+            cond = jax.tree.map(
+                lambda p, n: jnp.concatenate(
+                    [jnp.broadcast_to(p, (B, *p.shape[1:])), jnp.broadcast_to(n, (B, *n.shape[1:]))],
+                    axis=0,
+                ),
+                {k: jnp.asarray(v) for k, v in positive.items()},
+                {k: jnp.asarray(v) for k, v in negative.items()},
+            )
+
+            mean = self.denoiser(x2, t2, **cond, **kwargs).mean
+            pos, neg = mean[:B], mean[B:]
+
+            return DiracPosterior(mean=pos + guidance * (pos - neg))
 
         q_pos = self.denoiser(x_t, t, **positive, **kwargs)
         q_neg = self.denoiser(x_t, t, **negative, **kwargs)

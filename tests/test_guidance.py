@@ -87,6 +87,51 @@ def test_cfg(key):
     assert jnp.all(jnp.isfinite(x0))
 
 
+def test_cfg_batched(key):
+    r"""The fused 2B-batch CFG path equals the two-call path exactly, including
+    batch-1 negative conditioning broadcast."""
+
+    from azula_tpu.nn.layers import Linear, SineEncoding
+    from azula_tpu.nn.module import Module
+
+    class CondDummy(Module):
+        def __init__(self, features, *, key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            self.l1 = Linear(features, 32, key=k1)
+            self.l2 = Linear(32, features, key=k2)
+            self.emb = jax.random.normal(k3, (10, 32))
+            self.time_encoding = SineEncoding(32)
+
+        def __call__(self, x_t, t, label):
+            y = self.l1(x_t) + self.time_encoding(t) + self.emb[label]
+            return self.l2(jax.nn.relu(y))
+
+    denoiser = KarrasDenoiser(backbone=CondDummy(CHANNELS, key=key), schedule=VPSchedule())
+
+    two = CFGDenoiser(denoiser)
+    one = CFGDenoiser(denoiser, batched=True)
+
+    x_t = jax.random.normal(key, (4, CHANNELS))
+    t = jnp.full((4,), 0.6)
+
+    pos = {"label": jnp.asarray([1, 2, 3, 4])}
+    for neg in ({"label": jnp.zeros(4, int)}, {"label": jnp.zeros(1, int)}):
+        q_two = two(x_t, t, positive=pos, negative=neg, guidance=1.5)
+        q_one = one(x_t, t, positive=pos, negative=neg, guidance=1.5)
+
+        assert jnp.allclose(q_one.mean, q_two.mean, atol=1e-5)
+
+    # scalar time is broadcast before fusing
+    q_two = two(x_t, jnp.asarray(0.6), positive=pos, negative=neg, guidance=1.5)
+    q_one = one(x_t, jnp.asarray(0.6), positive=pos, negative=neg, guidance=1.5)
+    assert jnp.allclose(q_one.mean, q_two.mean, atol=1e-5)
+
+    # and the fused path composes with a compiled sampling scan
+    sampler = DDIMSampler(one, steps=4)
+    x0 = sampler(sampler.init(key, (4, CHANNELS)), positive=pos, negative=neg, guidance=1.0)
+    assert jnp.all(jnp.isfinite(x0))
+
+
 @pytest.mark.parametrize(
     "make_denoiser",
     [
