@@ -29,9 +29,11 @@ class CFGDenoiser(Denoiser):
         batched: Whether to fuse the positive and negative predictions into a
             single :math:`2B`-batch backbone call instead of two :math:`B`-batch
             calls. One fused call fetches the weights from HBM once per layer
-            (instead of twice) and runs larger, better-tiled matmuls — usually
-            faster on TPU. Requires the positive and negative conditioning
-            pytrees to have matching structures and shapes.
+            instead of twice, which helps when the per-call batch is too small
+            to saturate the chip (e.g. single-image latency); at
+            chip-saturating batch sizes the two-call path is usually as fast
+            or faster. Requires the positive and negative conditioning pytrees
+            to have matching structures and shapes.
     """
 
     def __init__(self, denoiser: Denoiser, batched: bool = False) -> None:

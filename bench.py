@@ -77,7 +77,10 @@ def _adm256_cfg(key):
     denoiser = make_model(**card.config, key=key)
     denoiser = denoiser.tree_replace(backbone=denoiser.backbone.astype(jnp.bfloat16))
 
-    # CFG halves images/sec at equal backbone throughput -> half the bar
+    # CFG halves images/sec at equal backbone throughput -> half the bar.
+    # Measured on v5e: the fused 2B-batch CFG (batched=True) is slightly
+    # slower inside the compiled scan (0.568 vs 0.588 img/s) — batch 8
+    # already saturates the chip at 256px — so the two-call path stays.
     return "adm256_cfg_ddim64_sampling_throughput", CFGDenoiser(denoiser), 8, (256, 256, 3), BASELINE_IMAGES_PER_SEC / 2
 
 
