@@ -11,6 +11,7 @@ from __future__ import annotations
 
 __all__ = [
     "DIT_TP_RULES",
+    "FLUX_TP_RULES",
     "fsdp_shardings",
     "shard_module",
     "shard_module_fsdp",
@@ -36,6 +37,26 @@ DIT_TP_RULES = (
     (r"\.ffn1\.weight$", P(None, "model")),
     (r"\.ffn1\.bias$", P("model")),
     (r"\.ffn2\.weight$", P("model", None)),
+)
+
+# Megatron layout for the Flux MMDiT (`models.flux.backbone.FluxTransformer`):
+# attention heads and FFN hidden dims shard over 'model'; output projections
+# are row-parallel (one all-reduce per block). The 'model' axis size must
+# divide the head count (24 for FLUX.1). This is what makes the 12B model
+# servable across a v5e/v5p slice.
+FLUX_TP_RULES = (
+    # dual-stream joint attention: column-parallel q/k/v for both streams
+    (r"\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.weight$", P(None, "model")),
+    (r"\.attn\.(to_q|to_k|to_v|add_q_proj|add_k_proj|add_v_proj)\.bias$", P("model")),
+    (r"\.attn\.(to_out|to_add_out)\.weight$", P("model", None)),
+    # dual-stream feed-forwards
+    (r"\.(ff|ff_context)\.proj\.weight$", P(None, "model")),
+    (r"\.(ff|ff_context)\.proj\.bias$", P("model")),
+    (r"\.(ff|ff_context)\.out\.weight$", P("model", None)),
+    # single-stream blocks: parallel attention + MLP with a fused output
+    (r"single_transformer_blocks\.\d+\.proj_mlp\.weight$", P(None, "model")),
+    (r"single_transformer_blocks\.\d+\.proj_mlp\.bias$", P("model")),
+    (r"single_transformer_blocks\.\d+\.proj_out\.weight$", P("model", None)),
 )
 
 

@@ -270,3 +270,72 @@ def test_make_hybrid_mesh_defaults():
     mesh = make_hybrid_mesh(model=2)  # single process -> replica 1
 
     assert mesh.devices.shape == (1, 4, 2)
+
+
+def test_flux_tp_forward_equality(devices, key):
+    r"""The Flux MMDiT under FLUX_TP_RULES on a (data=4, model=2) mesh matches
+    the unsharded forward (heads and FFN hiddens shard; row-parallel outputs
+    all-reduce)."""
+
+    import numpy as np
+
+    from azula_tpu.models.flux.backbone import FluxTransformer
+    from azula_tpu.parallel.tp import FLUX_TP_RULES
+
+    mesh = make_mesh(data=4, model=2)
+
+    model = FluxTransformer(
+        in_channels=16,
+        num_layers=2,
+        num_single_layers=2,
+        attention_head_dim=24,
+        num_attention_heads=2,
+        joint_attention_dim=32,
+        pooled_projection_dim=20,
+        axes_dims_rope=(8, 8, 8),
+        key=key,
+    )
+
+    B, H, W, Lt = 4, 4, 4, 6
+    z = np.zeros(1)
+    grid = np.stack(np.meshgrid(z, np.arange(H), np.arange(W), indexing="ij"), axis=-1)
+    img_ids = jnp.asarray(grid.reshape(-1, 3).astype(np.float32))
+    txt_ids = jnp.zeros((Lt, 3))
+
+    x = jax.random.normal(key, (B, H * W, 16))
+    t = jnp.asarray([0.3, 0.9, 0.5, 0.7])
+    ctx = jax.random.normal(key, (B, Lt, 32))
+    pooled = jax.random.normal(key, (B, 20))
+    g = jnp.full((B,), 4.0)
+
+    expected = model(
+        hidden_states=x,
+        timestep=t,
+        encoder_hidden_states=ctx,
+        pooled_projections=pooled,
+        img_ids=img_ids,
+        txt_ids=txt_ids,
+        guidance=g,
+    )
+
+    sharded = shard_module(model, mesh, rules=FLUX_TP_RULES)
+
+    # at least one parameter actually shards over 'model'
+    specs = {
+        str(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(sharded)
+        if hasattr(leaf, "sharding")
+    }
+    assert any("model" in s for s in specs), specs
+
+    out = sharded(
+        hidden_states=shard_batch(x, mesh),
+        timestep=shard_batch(t, mesh),
+        encoder_hidden_states=shard_batch(ctx, mesh),
+        pooled_projections=shard_batch(pooled, mesh),
+        img_ids=img_ids,
+        txt_ids=txt_ids,
+        guidance=shard_batch(g, mesh),
+    )
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
