@@ -12,6 +12,7 @@ from __future__ import annotations
 __all__ = [
     "DIT_TP_RULES",
     "FLUX_TP_RULES",
+    "SANA_TP_RULES",
     "fsdp_shardings",
     "shard_module",
     "shard_module_fsdp",
@@ -57,6 +58,19 @@ FLUX_TP_RULES = (
     (r"single_transformer_blocks\.\d+\.proj_mlp\.weight$", P(None, "model")),
     (r"single_transformer_blocks\.\d+\.proj_mlp\.bias$", P("model")),
     (r"single_transformer_blocks\.\d+\.proj_out\.weight$", P("model", None)),
+)
+
+# Attention-parallel layout for the Sana linear DiT
+# (`models.sana.backbone.SanaTransformer`): linear self-attention and softmax
+# cross-attention heads shard over 'model' (column-parallel q/k/v,
+# row-parallel out). The GLUMBConv feed-forward stays replicated — its GLU
+# gate splits the expansion channels in half, which has no contiguous
+# Megatron sharding. 'model' must divide both head counts (70/20 for 1.6B,
+# 36/16 for 0.6B — tp=2 works for both; 0.6B also allows 4, 1.6B also 5/10).
+SANA_TP_RULES = (
+    (r"\.(attn1|attn2)\.(to_q|to_k|to_v)\.weight$", P(None, "model")),
+    (r"\.(attn1|attn2)\.(to_q|to_k|to_v)\.bias$", P("model")),
+    (r"\.(attn1|attn2)\.to_out\.weight$", P("model", None)),
 )
 
 

@@ -339,3 +339,57 @@ def test_flux_tp_forward_equality(devices, key):
     )
 
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+
+def test_sana_tp_forward_equality(devices, key):
+    r"""The Sana linear DiT under SANA_TP_RULES on a (data=4, model=2) mesh
+    matches the unsharded forward (linear- and cross-attention heads shard;
+    the GLU conv feed-forward stays replicated)."""
+
+    from azula_tpu.models.sana.backbone import SanaTransformer
+    from azula_tpu.parallel.tp import SANA_TP_RULES
+
+    mesh = make_mesh(data=4, model=2)
+
+    model = SanaTransformer(
+        in_channels=8,
+        out_channels=8,
+        num_attention_heads=4,
+        attention_head_dim=8,
+        num_cross_attention_heads=2,
+        cross_attention_head_dim=16,
+        caption_channels=24,
+        num_layers=2,
+        patch_size=1,
+        key=key,
+    )
+
+    x = jax.random.normal(key, (4, 8, 8, 8))
+    t = jnp.asarray([300.0, 800.0, 100.0, 500.0])
+    ctx = jax.random.normal(key, (4, 6, 24))
+    mask = jnp.ones((4, 6))
+
+    expected = model(
+        hidden_states=x,
+        timestep=t,
+        encoder_hidden_states=ctx,
+        encoder_attention_mask=mask,
+    )
+
+    sharded = shard_module(model, mesh, rules=SANA_TP_RULES)
+
+    specs = {
+        str(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(sharded)
+        if hasattr(leaf, "sharding")
+    }
+    assert any("model" in s for s in specs), specs
+
+    out = sharded(
+        hidden_states=shard_batch(x, mesh),
+        timestep=shard_batch(t, mesh),
+        encoder_hidden_states=shard_batch(ctx, mesh),
+        encoder_attention_mask=shard_batch(mask, mesh),
+    )
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
