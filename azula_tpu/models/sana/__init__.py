@@ -251,6 +251,8 @@ def load_model(name: str, dtype=jnp.bfloat16):
 
     denoiser = SanaDenoiser(backbone=transformer.astype(dtype))
 
+    dtype_map = getattr(card, "dtype_map", None) or {}
+
     gemma_sd = load_hub_safetensors(repo, "text_encoder/model", None)
     gemma = filter_eval_shape(Gemma2TextModel, key=jax.random.key(0))
     gemma = load_state_dict(gemma, convert_gemma_state_dict(gemma, gemma_sd))
@@ -259,12 +261,17 @@ def load_model(name: str, dtype=jnp.bfloat16):
         tokenizer_file=download(f"{base}/tokenizer/tokenizer.json")
     )
 
-    textencoder = TextEncoder(gemma=gemma.astype(jnp.bfloat16), tokenizer=tokenizer)
+    textencoder = TextEncoder(
+        gemma=gemma.astype(dtype_map.get("text_encoder", jnp.bfloat16)),
+        tokenizer=tokenizer,
+    )
 
     ae_sd = load_hub_safetensors(repo, "vae/diffusion_pytorch_model", None)
     dcae = filter_eval_shape(AutoencoderDC, key=jax.random.key(0))
     dcae = load_state_dict(dcae, convert_dcae_state_dict(dcae, ae_sd))
 
-    autoencoder = AutoEncoder(ae=dcae, scale=0.41407)
+    autoencoder = AutoEncoder(
+        ae=dcae.astype(dtype_map.get("vae", jnp.float32)), scale=0.41407
+    )
 
     return denoiser, autoencoder, textencoder

@@ -336,10 +336,12 @@ class DCDownBlock2d(Module):
 
 
 class DCUpBlock2d(Module):
-    r"""2x upsample. The Sana variant (`interpolate=True`) is nearest-neighbor
-    interpolation followed by a conv; the pixel-shuffle variant is a conv to
-    :math:`4 C_o` channels, pixel-shuffled, with a channel-duplicating
-    shortcut."""
+    r"""2x upsample with a channel-duplicating pixel-shuffle shortcut. The Sana
+    variant (`interpolate=True`) is nearest-neighbor interpolation followed by
+    a conv; the pixel-shuffle variant is a conv to :math:`4 C_o` channels,
+    pixel-shuffled. In both modes the shortcut (efficientvit's
+    ``upsample_shortcut='duplicating'`` residual wrapper) adds
+    ``pixel_shuffle(repeat_interleave(x))``."""
 
     def __init__(
         self,
@@ -366,9 +368,9 @@ class DCUpBlock2d(Module):
         else:
             h = _pixel_shuffle(self.conv(x), 2)
 
-            if self.shortcut:
-                y = jnp.repeat(x, self.repeats, axis=-1)
-                h = h + _pixel_shuffle(y, 2)
+        if self.shortcut:
+            y = jnp.repeat(x, self.repeats, axis=-1)
+            h = h + _pixel_shuffle(y, 2)
 
         return h
 

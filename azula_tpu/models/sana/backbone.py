@@ -44,6 +44,20 @@ class AffineRMSNorm(Module):
         return h.astype(x.dtype) * self.scale.astype(x.dtype)
 
 
+class CaptionProjection(Module):
+    r"""Prompt-embedding projection (diffusers `PixArtAlphaTextProjection`
+    with its default ``act_fn='gelu_tanh'`` — unlike the SiLU time embedder)."""
+
+    def __init__(self, in_dim: int, dim: int, *, key: Array) -> None:
+        k1, k2 = jax.random.split(key)
+
+        self.linear_1 = Linear(in_dim, dim, key=k1)
+        self.linear_2 = Linear(dim, dim, key=k2)
+
+    def __call__(self, x: Array) -> Array:
+        return self.linear_2(jax.nn.gelu(self.linear_1(x), approximate=True))
+
+
 class SanaLinearAttention(Module):
     r"""ReLU linear attention (diffusers `SanaLinearAttnProcessor2_0`):
     :math:`\mathrm{out} = \frac{\phi(q) (\phi(k)^T v)}{\phi(q) \sum_l \phi(k_l)}`
@@ -265,7 +279,7 @@ class SanaTransformer(Module):
         self.timestep_embedder = MLPEmbedder(256, dim, key=next_key())
         self.time_linear = Linear(dim, 6 * dim, key=next_key())
 
-        self.caption_projection = MLPEmbedder(caption_channels, dim, key=next_key())
+        self.caption_projection = CaptionProjection(caption_channels, dim, key=next_key())
         self.caption_norm = AffineRMSNorm(dim, eps=1e-5)
 
         self.transformer_blocks = [

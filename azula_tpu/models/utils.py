@@ -105,9 +105,11 @@ def load_hub_safetensors(repo: str, name: str, variant: str | None = None) -> di
         index = json.load(f)
 
     out = {}
-    prefix = name.rsplit("/", 1)[0]
+    # shards live next to the index file (repo root when name has no directory)
+    folder, sep, _ = name.rpartition("/")
+    prefix = folder + sep
 
     for shard in sorted(set(index["weight_map"].values())):
-        out.update(read(download(f"{base}/{prefix}/{shard}")))
+        out.update(read(download(f"{base}/{prefix}{shard}")))
 
     return out

@@ -236,6 +236,20 @@ def _pallas_attention_blocked(
         if b_ref is not None:
             logits = logits + b_ref[0].astype(jnp.float32)
 
+        if L % BLOCK_K != 0:
+            # Ragged final K block: out-of-bounds K/V rows arrive as undefined
+            # padding — mask their logits out of the softmax and zero the V
+            # rows (0 * NaN would otherwise poison the accumulator).
+            k_idx = kb * BLOCK_K + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(k_idx < L, logits, _MASKED_OUT)
+
+            v_idx = kb * BLOCK_K + jax.lax.broadcasted_iota(
+                jnp.int32, vb.shape, 0
+            )
+            vb = jnp.where(v_idx < L, vb, 0)
+
         m_prev = m_scr[:]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
@@ -319,12 +333,18 @@ def _pallas_attention_blocked(
 _FULL_KV_MAX_L = 2048
 
 
-def _use_pallas(q: Array, mask, dropout_rate: float) -> bool:
+def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float) -> bool:
     if dropout_rate > 0:
         return False
     if jax.default_backend() != "tpu":
         return False
     if q.ndim != 4:
+        return False
+
+    # Self-attention shapes only: the kernels tile K/V with the query length.
+    # Cross-attention (S != L, e.g. text conditioning) keeps the XLA path —
+    # its K/V are short, so full softmax is cheap there anyway.
+    if k.shape != q.shape or v.shape != q.shape:
         return False
 
     B, H, L, D = q.shape
@@ -697,7 +717,7 @@ def dot_product_attention(
         weights = jnp.where(keep, weights / (1 - dropout_rate), 0.0)
         return jnp.einsum("...qk,...kd->...qd", weights.astype(q.dtype), v)
 
-    if _use_pallas(q, mask, dropout_rate):
+    if _use_pallas(q, k, v, mask, dropout_rate):
         if mask is None:
             return _flash(q, k, v, scale)
         bias, mode = _mask_to_bias(mask, q)

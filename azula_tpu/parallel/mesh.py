@@ -121,7 +121,10 @@ def initialize_distributed(
             **kwargs,
         )
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+        # jax wordings vary by version: "...is already initialized" /
+        # "distributed.initialize should only be called once".
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 

@@ -87,10 +87,8 @@ def main() -> None:
 
     x = autoencoder.decode(z)
 
-    # pixel-range conventions: sd decodes to [0, 1], sana/flux to [-1, 1]
-    if args.family != "sd":
-        x = (x + 1) / 2
-    x = np.asarray(jnp.clip(x, 0.0, 1.0))
+    # all three VAEs decode to pixel values in roughly [-1, 1]
+    x = np.asarray(jnp.clip((x + 1) / 2, 0.0, 1.0))
 
     np.save(args.out, x)
     print(f"saved {x.shape} image array to {args.out}")

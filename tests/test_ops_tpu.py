@@ -30,7 +30,7 @@ def test_flash_attention_matches_xla(L, D, dtype, key):
     k = jax.random.normal(k2, (B, H, L, D), dtype=dtype)
     v = jax.random.normal(k3, (B, H, L, D), dtype=dtype)
 
-    assert _use_pallas(q, None, 0.0)
+    assert _use_pallas(q, k, v, None, 0.0)
 
     out = dot_product_attention(q, k, v)
     ref = _xla_attention(q, k, v)
@@ -85,7 +85,7 @@ def test_flash_attention_masked(L, mask_kind, key):
         mask = jax.random.bernoulli(jax.random.fold_in(key, 7), 0.9, (B, H, L, L))
         mask = mask | jnp.eye(L, dtype=bool)  # no fully-masked rows
 
-    assert _use_pallas(q, mask, 0.0)
+    assert _use_pallas(q, k, v, mask, 0.0)
 
     def loss(fn, q, k, v):
         return jnp.sum(fn(q, k, v, mask=mask).astype(jnp.float32) ** 2)
@@ -138,3 +138,47 @@ def test_flash_attention_grads(L, D, dtype, key):
         scale = jnp.max(jnp.abs(r.astype(jnp.float32))) + 1e-6
         err = jnp.max(jnp.abs(g.astype(jnp.float32) - r.astype(jnp.float32))) / scale
         assert err < tol, err
+
+
+@requires_tpu
+@pytest.mark.parametrize("L", [2304, 4608])  # > _FULL_KV_MAX_L, ragged vs BLOCK_K=1024
+def test_flash_attention_blocked_ragged_k(L, key):
+    r"""The blocked kernel masks the ragged final K block (e.g. Flux 1024px:
+    4096 image + 512 text tokens = 4608)."""
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, D = 1, 2, 64
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    assert _use_pallas(q, k, v, None, 0.0)
+
+    out = dot_product_attention(q, k, v)
+    ref = _xla_attention(q, k, v)
+
+    assert jnp.max(jnp.abs(out - ref)) < 2e-3
+
+
+@requires_tpu
+def test_cross_attention_falls_back(key):
+    r"""Cross-attention (K/V length != Q length) takes the XLA path instead of
+    crashing in the kernels (SD text conditioning: S = 77)."""
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, L, S, D = 2, 4, 256, 77, 64
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, S, D))
+    v = jax.random.normal(k3, (B, H, S, D))
+
+    assert not _use_pallas(q, k, v, None, 0.0)
+
+    out = dot_product_attention(q, k, v)
+    ref = _xla_attention(q, k, v)
+
+    assert out.shape == (B, H, L, D)
+    assert jnp.allclose(out, ref, atol=1e-5)

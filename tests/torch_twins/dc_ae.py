@@ -189,9 +189,9 @@ class DCUpBlock2d(nn.Module):
             h = self.conv(h)
         else:
             h = F.pixel_shuffle(self.conv(x), 2)
-            if self.shortcut:
-                y = x.repeat_interleave(self.repeats, dim=1)
-                h = h + F.pixel_shuffle(y, 2)
+        if self.shortcut:
+            y = x.repeat_interleave(self.repeats, dim=1)
+            h = h + F.pixel_shuffle(y, 2)
         return h
 
 

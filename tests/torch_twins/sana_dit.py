@@ -58,13 +58,15 @@ class AdaLayerNormSingle(nn.Module):
 
 
 class CaptionProjection(nn.Module):
+    r"""diffusers PixArtAlphaTextProjection, default act_fn='gelu_tanh'."""
+
     def __init__(self, in_dim, dim):
         super().__init__()
         self.linear_1 = nn.Linear(in_dim, dim)
         self.linear_2 = nn.Linear(dim, dim)
 
     def forward(self, x):
-        return self.linear_2(F.silu(self.linear_1(x)))
+        return self.linear_2(F.gelu(self.linear_1(x), approximate="tanh"))
 
 
 class RMSNorm(nn.Module):
