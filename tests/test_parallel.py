@@ -393,3 +393,36 @@ def test_sana_tp_forward_equality(devices, key):
     )
 
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+
+def test_dp_tp_sampling_equality(devices, key):
+    r"""The full DDIM sampling scan over a tp-sharded denoiser with a
+    dp-sharded batch matches the unsharded trajectory."""
+
+    mesh = make_mesh(data=2, model=4)
+
+    k_model, k_init = jax.random.split(key)
+
+    backbone = TimeDiT(
+        DiT(
+            in_channels=3,
+            out_channels=3,
+            mod_features=32,
+            hid_channels=32,
+            hid_blocks=2,
+            attention_heads=4,
+            key=k_model,
+        ),
+        32,
+    )
+    denoiser = KarrasDenoiser(backbone=backbone, schedule=VPSchedule())
+
+    sampler = DDIMSampler(denoiser, eta=0.0, steps=8)
+    x1 = sampler.init(k_init, (8, 16, 3))
+
+    expected = sampler(x1)
+
+    sharded = DDIMSampler(shard_module(denoiser, mesh), eta=0.0, steps=8)
+    out = sharded(shard_batch(x1, mesh))
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-4)
