@@ -1,0 +1,139 @@
+r"""Pipeline parallelism: GPipe-style microbatched execution of a block stack
+over a mesh axis.
+
+First-class TPU-native component (SURVEY.md §2.8 — the reference has no
+multi-device support at all). A transformer is a stack of :math:`L`
+identical blocks; :func:`pipeline_blocks` places :math:`L/S` consecutive
+blocks on each of the :math:`S` devices of a mesh axis and streams
+:math:`M` microbatches through the stages. Activations move stage-to-stage
+with a single `ppermute` per tick (ICI neighbor traffic only); the schedule
+is the classic :math:`M + S - 1`-tick GPipe fill-and-drain, expressed as one
+`lax.fori_loop` inside `shard_map` so the whole pipeline is a single compiled
+SPMD program.
+
+This trades :math:`(S-1)/(M+S-1)` bubble overhead for an :math:`S`-fold
+reduction in per-device parameter memory — the alternative to tensor
+parallelism (:mod:`azula_tpu.parallel.tp`) when a model's blocks fit a chip
+but the stack does not, or when the ICI all-reduce of TP is the bottleneck.
+
+References:
+    | GPipe: Efficient Training of Giant Neural Networks using Pipeline Parallelism (Huang et al., 2019)
+    | https://arxiv.org/abs/1811.16045
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "pipeline_blocks",
+]
+
+import jax
+import jax.numpy as jnp
+
+from collections.abc import Callable
+from jax import Array
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def pipeline_blocks(
+    block_fn: Callable,
+    params,
+    x: Array,
+    mesh: Mesh,
+    axis: str = "model",
+    microbatches: int | None = None,
+):
+    r"""Applies a stack of identical blocks to ``x`` as a pipeline over a mesh
+    axis.
+
+    Equivalent to ``for i in range(L): x = block_fn(params[i], x)`` with the
+    :math:`L` blocks split into :math:`S` contiguous stages, one per device of
+    the ``axis``.
+
+    Arguments:
+        block_fn: The per-block function ``block_fn(block_params, x) -> x``;
+            must preserve the shape of ``x``.
+        params: A pytree whose array leaves carry a leading block dimension
+            :math:`L` (a stacked scan layout), with :math:`L` divisible by the
+            axis size.
+        x: The batched input, with shape :math:`(B, *)`; :math:`B` divisible
+            by ``microbatches``.
+        mesh: The device mesh.
+        axis: The mesh axis to pipeline over.
+        microbatches: The number of microbatches :math:`M` (defaults to the
+            axis size). Larger :math:`M` shrinks the pipeline bubble
+            :math:`(S-1)/(M+S-1)`.
+
+    Returns:
+        The output, with shape :math:`(B, *)`, replicated over the axis.
+    """
+
+    S = mesh.shape[axis]
+    M = S if microbatches is None else microbatches
+
+    L = jax.tree.leaves(params)[0].shape[0]
+    B = x.shape[0]
+
+    assert L % S == 0, f"block count {L} must divide into {S} stages"
+    assert B % M == 0, f"batch {B} must divide into {M} microbatches"
+
+    # (L, ...) -> (S, L/S, ...): stage-major, contiguous blocks per stage
+    staged = jax.tree.map(lambda p: p.reshape(S, L // S, *p.shape[1:]), params)
+    xm = x.reshape(M, B // M, *x.shape[1:])
+
+    def device_fn(staged, xm):
+        # staged leaves: (1, L/S, ...); xm: (M, B/M, ...)
+        s = jax.lax.axis_index(axis)
+
+        local = jax.tree.map(lambda p: p[0], staged)
+
+        def stage_apply(h):
+            def body(h, block):
+                return block_fn(block, h), None
+
+            h, _ = jax.lax.scan(body, h, local)
+            return h
+
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def tick(t, carry):
+            state, outputs = carry
+
+            # receive the previous stage's activation; stage 0 injects
+            # microbatch t instead (the wrap-around value is discarded)
+            shifted = jax.lax.ppermute(state, axis, perm)
+            inject = xm[jnp.clip(t, 0, M - 1)]
+            state = jnp.where(s == 0, inject, shifted)
+
+            state = stage_apply(state)
+
+            # the last stage finishes microbatch t - (S - 1)
+            out_idx = t - (S - 1)
+            valid = (s == S - 1) & (out_idx >= 0)
+            slot = jnp.clip(out_idx, 0, M - 1)
+            outputs = jnp.where(
+                valid, outputs.at[slot].set(state), outputs
+            )
+
+            return state, outputs
+
+        # mark the carries as device-varying (they mix in axis_index/ppermute)
+        state = jax.lax.pvary(jnp.zeros_like(xm[0]), (axis,))
+        outputs = jax.lax.pvary(jnp.zeros_like(xm), (axis,))
+
+        _, outputs = jax.lax.fori_loop(0, M + S - 1, tick, (state, outputs))
+
+        # results live on the last stage; zero elsewhere and psum to replicate
+        outputs = jnp.where(s == S - 1, outputs, jnp.zeros_like(outputs))
+        return jax.lax.psum(outputs, axis)
+
+    spec_p = jax.tree.map(lambda _: P(axis), staged)
+
+    out = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(spec_p, P()),
+        out_specs=P(),
+    )(staged, xm)
+
+    return out.reshape(B, *x.shape[1:])

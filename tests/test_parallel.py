@@ -426,3 +426,34 @@ def test_dp_tp_sampling_equality(devices, key):
     out = sharded(shard_batch(x1, mesh))
 
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-4)
+
+
+@pytest.mark.parametrize("microbatches", [None, 8], ids=["M=S", "M=8"])
+def test_pipeline_blocks_equality(devices, microbatches, key):
+    r"""GPipe pipeline over the 'model' axis matches sequential block
+    application (fill-and-drain schedule, ppermute stage hops)."""
+
+    from azula_tpu.parallel import pipeline_blocks
+
+    mesh = make_mesh(data=2, model=4)
+
+    L, B, D = 8, 8, 16
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    params = {
+        "w": jax.random.normal(k1, (L, D, D)) / jnp.sqrt(D),
+        "b": jax.random.normal(k2, (L, D)) * 0.1,
+    }
+
+    def block_fn(p, x):
+        return x + jnp.tanh(x @ p["w"] + p["b"])
+
+    x = jax.random.normal(k3, (B, D))
+
+    expected = x
+    for i in range(L):
+        expected = block_fn(jax.tree.map(lambda p: p[i], params), expected)
+
+    out = pipeline_blocks(block_fn, params, x, mesh, microbatches=microbatches)
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
