@@ -17,7 +17,7 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from .batch import sample_sharded  # noqa: F401
-from .pp import pipeline_blocks  # noqa: F401
+from .pp import pipeline_blocks, stack_modules  # noqa: F401
 from .ring import ring_attention  # noqa: F401
 from .tp import (  # noqa: F401
     DIT_TP_RULES,

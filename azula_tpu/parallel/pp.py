@@ -25,14 +25,49 @@ from __future__ import annotations
 
 __all__ = [
     "pipeline_blocks",
+    "stack_modules",
 ]
 
 import jax
 import jax.numpy as jnp
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.pytree import combine, partition
+
+
+def stack_modules(modules: Sequence):
+    r"""Stacks structurally identical modules into a scan/pipeline layout.
+
+    Turns a list of :math:`L` modules (e.g. the transformer blocks of a DiT)
+    into ``(params, apply)`` where ``params`` array leaves carry a leading
+    :math:`L` dimension and ``apply(block_params, x, *args)`` runs one block —
+    the form :func:`pipeline_blocks` (and `lax.scan`) consume.
+
+    Arguments:
+        modules: Structurally identical modules (same static half).
+
+    Returns:
+        The ``(params, apply)`` pair.
+    """
+
+    parts = [partition(m) for m in modules]
+    arrays, static = parts[0]
+
+    for _, other in parts[1:]:
+        assert other == static, "modules are not structurally identical"
+
+    stacked = [
+        None if a is None else jnp.stack([p[0][i] for p in parts])
+        for i, a in enumerate(arrays)
+    ]
+
+    def apply(block_params, x, *args, **kwargs):
+        return combine(block_params, static)(x, *args, **kwargs)
+
+    return stacked, apply
 
 
 def pipeline_blocks(

@@ -457,3 +457,33 @@ def test_pipeline_blocks_equality(devices, microbatches, key):
     out = pipeline_blocks(block_fn, params, x, mesh, microbatches=microbatches)
 
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+
+def test_pipeline_real_dit_blocks(devices, key):
+    r"""stack_modules + pipeline_blocks run a stack of real DiT block modules
+    as a pipeline, matching sequential application."""
+
+    from azula_tpu.nn.dit import DiTBlock
+    from azula_tpu.parallel import pipeline_blocks, stack_modules
+
+    mesh = make_mesh(data=2, model=4)
+
+    ks = jax.random.split(key, 5)
+    blocks = [
+        DiTBlock(channels=32, mod_features=16, attention_heads=4, key=k)
+        for k in ks[:4]
+    ]
+
+    x = jax.random.normal(ks[4], (4, 8, 32))
+    # broadcastable over microbatches (closure conditioning is per-call, not
+    # per-microbatch — shard the batch into `x` itself instead when it varies)
+    mod = jnp.ones((1, 16))
+
+    expected = x
+    for b in blocks:
+        expected = b(expected, mod)
+
+    params, apply = stack_modules(blocks)
+    out = pipeline_blocks(lambda p, h: apply(p, h, mod), params, x, mesh)
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
