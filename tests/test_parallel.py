@@ -487,3 +487,35 @@ def test_pipeline_real_dit_blocks(devices, key):
     out = pipeline_blocks(lambda p, h: apply(p, h, mod), params, x, mesh)
 
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+
+def test_pipeline_blocks_grads(devices, key):
+    r"""Gradients flow through the pipeline (fill-and-drain loop, ppermute
+    transpose) and match the sequential gradients."""
+
+    from azula_tpu.parallel import pipeline_blocks
+
+    mesh = make_mesh(data=2, model=4)
+
+    L, B, D = 4, 8, 16
+    k1, k2 = jax.random.split(key)
+
+    params = {"w": jax.random.normal(k1, (L, D, D)) / jnp.sqrt(D)}
+    x = jax.random.normal(k2, (B, D))
+
+    def block_fn(p, h):
+        return h + jnp.tanh(h @ p["w"])
+
+    def seq_loss(params):
+        h = x
+        for i in range(L):
+            h = block_fn(jax.tree.map(lambda p: p[i], params), h)
+        return jnp.sum(h**2)
+
+    def pp_loss(params):
+        return jnp.sum(pipeline_blocks(block_fn, params, x, mesh) ** 2)
+
+    g_seq = jax.grad(seq_loss)(params)
+    g_pp = jax.grad(pp_loss)(params)
+
+    assert jnp.allclose(g_seq["w"], jax.device_get(g_pp["w"]), atol=1e-4)
