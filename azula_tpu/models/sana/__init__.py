@@ -190,7 +190,9 @@ class SanaDenoiser(Denoiser):
 
 
 # Architecture hyperparameters per model size (the diffusers transformer
-# config of the published checkpoints).
+# config of the published checkpoints). SANA 1.5 adds across-heads q/k RMS
+# normalization; the 4.8B model scales depth (20 -> 60 layers) at the same
+# width, per the SANA-1.5 depth-growth recipe.
 ARCHS = {
     "0.6b": dict(  # noqa: C408
         num_attention_heads=36,
@@ -208,7 +210,35 @@ ARCHS = {
         num_layers=20,
         mlp_ratio=2.5,
     ),
+    "1.5-1.6b": dict(  # noqa: C408
+        num_attention_heads=70,
+        attention_head_dim=32,
+        num_cross_attention_heads=20,
+        cross_attention_head_dim=112,
+        num_layers=20,
+        mlp_ratio=2.5,
+        qk_norm=True,
+    ),
+    "1.5-4.8b": dict(  # noqa: C408
+        num_attention_heads=70,
+        attention_head_dim=32,
+        num_cross_attention_heads=20,
+        cross_attention_head_dim=112,
+        num_layers=60,
+        mlp_ratio=2.5,
+        qk_norm=True,
+    ),
 }
+
+
+def _arch(name: str) -> dict:
+    if "4.8b" in name:
+        return ARCHS["1.5-4.8b"]
+    if "1.5" in name:
+        return ARCHS["1.5-1.6b"]
+    if "0.6b" in name:
+        return ARCHS["0.6b"]
+    return ARCHS["1.6b"]
 
 
 def load_model(name: str, dtype=jnp.bfloat16):
@@ -241,7 +271,7 @@ def load_model(name: str, dtype=jnp.bfloat16):
     variant = getattr(card, "variant", None)
     base = f"https://huggingface.co/{repo}/resolve/main"
 
-    arch = ARCHS["0.6b" if "0.6b" in name else "1.6b"]
+    arch = _arch(name)
 
     sd = load_hub_safetensors(repo, "transformer/diffusion_pytorch_model", variant)
     transformer = filter_eval_shape(SanaTransformer, **arch, key=jax.random.key(0))

@@ -61,9 +61,13 @@ class CaptionProjection(Module):
 class SanaLinearAttention(Module):
     r"""ReLU linear attention (diffusers `SanaLinearAttnProcessor2_0`):
     :math:`\mathrm{out} = \frac{\phi(q) (\phi(k)^T v)}{\phi(q) \sum_l \phi(k_l)}`
-    with :math:`\phi = \mathrm{relu}`, computed in float32."""
+    with :math:`\phi = \mathrm{relu}`, computed in float32. SANA 1.5
+    checkpoints add across-heads RMS q/k normalization
+    (diffusers ``qk_norm='rms_norm_across_heads'``)."""
 
-    def __init__(self, dim: int, heads: int, head_dim: int, *, key: Array) -> None:
+    def __init__(
+        self, dim: int, heads: int, head_dim: int, qk_norm: bool = False, *, key: Array
+    ) -> None:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         inner = heads * head_dim
 
@@ -73,13 +77,26 @@ class SanaLinearAttention(Module):
         self.to_v = Linear(dim, inner, bias=False, key=k3)
         self.to_out = Linear(inner, dim, key=k4)
 
+        if qk_norm:
+            self.norm_q = AffineRMSNorm(inner, eps=1e-5)
+            self.norm_k = AffineRMSNorm(inner, eps=1e-5)
+        else:
+            self.norm_q = None
+            self.norm_k = None
+
     def __call__(self, x: Array) -> Array:
         B, L, _ = x.shape
         H = self.heads
 
-        q = jax.nn.relu(self.to_q(x)).reshape(B, L, H, -1).astype(jnp.float32)
-        k = jax.nn.relu(self.to_k(x)).reshape(B, L, H, -1).astype(jnp.float32)
-        v = self.to_v(x).reshape(B, L, H, -1).astype(jnp.float32)
+        q, k, v = self.to_q(x), self.to_k(x), self.to_v(x)
+
+        if self.norm_q is not None:
+            q = self.norm_q(q)
+            k = self.norm_k(k)
+
+        q = jax.nn.relu(q).reshape(B, L, H, -1).astype(jnp.float32)
+        k = jax.nn.relu(k).reshape(B, L, H, -1).astype(jnp.float32)
+        v = v.reshape(B, L, H, -1).astype(jnp.float32)
 
         # k^T v and k^T 1 in one contraction (ones channel appended to v)
         v1 = jnp.concatenate([v, jnp.ones_like(v[..., :1])], axis=-1)
@@ -93,10 +110,11 @@ class SanaLinearAttention(Module):
 
 
 class SanaCrossAttention(Module):
-    r"""Softmax cross-attention over prompt embeddings, with additive mask."""
+    r"""Softmax cross-attention over prompt embeddings, with additive mask and
+    optional across-heads RMS q/k normalization (SANA 1.5)."""
 
     def __init__(
-        self, dim: int, heads: int, head_dim: int, *, key: Array
+        self, dim: int, heads: int, head_dim: int, qk_norm: bool = False, *, key: Array
     ) -> None:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         inner = heads * head_dim
@@ -107,14 +125,27 @@ class SanaCrossAttention(Module):
         self.to_v = Linear(dim, inner, key=k3)
         self.to_out = Linear(inner, dim, key=k4)
 
+        if qk_norm:
+            self.norm_q = AffineRMSNorm(inner, eps=1e-5)
+            self.norm_k = AffineRMSNorm(inner, eps=1e-5)
+        else:
+            self.norm_q = None
+            self.norm_k = None
+
     def __call__(self, x: Array, context: Array, mask: Array | None = None) -> Array:
         B, L, _ = x.shape
         S = context.shape[1]
         H = self.heads
 
-        q = jnp.swapaxes(self.to_q(x).reshape(B, L, H, -1), 1, 2)
-        k = jnp.swapaxes(self.to_k(context).reshape(B, S, H, -1), 1, 2)
-        v = jnp.swapaxes(self.to_v(context).reshape(B, S, H, -1), 1, 2)
+        q, k, v = self.to_q(x), self.to_k(context), self.to_v(context)
+
+        if self.norm_q is not None:
+            q = self.norm_q(q)
+            k = self.norm_k(k)
+
+        q = jnp.swapaxes(q.reshape(B, L, H, -1), 1, 2)
+        k = jnp.swapaxes(k.reshape(B, S, H, -1), 1, 2)
+        v = jnp.swapaxes(v.reshape(B, S, H, -1), 1, 2)
 
         if mask is not None:
             # additive bias: -10000 on masked-out positions (diffusers)
@@ -182,14 +213,15 @@ class SanaTransformerBlock(Module):
         cross_heads: int,
         cross_head_dim: int,
         mlp_ratio: float = 2.5,
+        qk_norm: bool = False,
         *,
         key: Array,
     ) -> None:
         k1, k2, k3, k4 = jax.random.split(key, 4)
 
         self.norm1 = LayerNorm(eps=1e-6)
-        self.attn1 = SanaLinearAttention(dim, heads, head_dim, key=k1)
-        self.attn2 = SanaCrossAttention(dim, cross_heads, cross_head_dim, key=k2)
+        self.attn1 = SanaLinearAttention(dim, heads, head_dim, qk_norm, key=k1)
+        self.attn2 = SanaCrossAttention(dim, cross_heads, cross_head_dim, qk_norm, key=k2)
         self.norm2 = LayerNorm(eps=1e-6)
         self.ff = GLUMBConv(dim, mlp_ratio, key=k3)
 
@@ -239,6 +271,7 @@ class SanaTransformer(Module):
         num_layers: Transformer depth.
         patch_size: Latent patchification (1 for the 1024px models).
         mlp_ratio: GLUMBConv expansion.
+        qk_norm: Across-heads RMS q/k normalization (SANA 1.5 checkpoints).
         key: PRNG key for initialization.
     """
 
@@ -254,6 +287,7 @@ class SanaTransformer(Module):
         num_layers: int = 20,
         patch_size: int = 1,
         mlp_ratio: float = 2.5,
+        qk_norm: bool = False,
         *,
         key: Array,
     ) -> None:
@@ -290,6 +324,7 @@ class SanaTransformer(Module):
                 num_cross_attention_heads,
                 cross_attention_head_dim,
                 mlp_ratio,
+                qk_norm,
                 key=next_key(),
             )
             for _ in range(num_layers)

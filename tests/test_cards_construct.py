@@ -57,3 +57,30 @@ def test_cc12m_constructs():
     shapes = jax.eval_shape(lambda: partition(vdm.make_model("cc12m_1", key=jax.random.key(0)))[0])
 
     assert _n_params(shapes) > 1e6
+
+
+@pytest.mark.parametrize("name", list(load_cards("azula_tpu.models.sana")))
+def test_sana_cards_construct(name):
+    r"""Every Sana card's architecture constructs abstractly with a plausible
+    parameter count (0.6B / 1.6B / 4.8B; SANA 1.5 adds qk norms)."""
+
+    from azula_tpu.models.sana import _arch
+    from azula_tpu.models.sana.backbone import SanaTransformer
+
+    arch = _arch(name)
+
+    shapes = jax.eval_shape(
+        lambda: partition(SanaTransformer(**arch, key=jax.random.key(0)))[0]
+    )
+
+    n = _n_params(shapes)
+
+    if "4.8b" in name:
+        assert 4e9 < n < 5.5e9
+    elif "0.6b" in name:
+        assert 4e8 < n < 8e8
+    else:
+        assert 1.2e9 < n < 2e9
+
+    if "1.5" in name:
+        assert arch.get("qk_norm"), "SANA 1.5 cards use qk normalization"

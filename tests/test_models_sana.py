@@ -44,14 +44,15 @@ def test_sana_transformer_forward(key):
 
 @pytest.mark.parametrize("patch", [1, 2], ids=["p1", "p2"])
 @pytest.mark.parametrize("masked", [True, False], ids=["masked", "unmasked"])
-def test_twin_parity(patch, masked, key):
+@pytest.mark.parametrize("qk_norm", [False, True], ids=["sana1", "sana1.5"])
+def test_twin_parity(patch, masked, qk_norm, key):
     import torch
 
     from torch_twins.sana_dit import SanaTransformerTwin
 
     torch.manual_seed(0)
 
-    cfg = {**SMALL, "patch_size": patch}
+    cfg = {**SMALL, "patch_size": patch, "qk_norm": qk_norm}
 
     twin = SanaTransformerTwin(**cfg)
     twin.eval()

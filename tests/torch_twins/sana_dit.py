@@ -82,7 +82,7 @@ class RMSNorm(nn.Module):
 
 
 class LinearAttention(nn.Module):
-    def __init__(self, dim, heads, head_dim):
+    def __init__(self, dim, heads, head_dim, qk_norm=False):
         super().__init__()
         inner = heads * head_dim
         self.heads = heads
@@ -90,13 +90,20 @@ class LinearAttention(nn.Module):
         self.to_k = nn.Linear(dim, inner, bias=False)
         self.to_v = nn.Linear(dim, inner, bias=False)
         self.to_out = nn.ModuleList([nn.Linear(inner, dim), nn.Dropout(0.0)])
+        # SANA 1.5: qk_norm="rms_norm_across_heads" (affine, no bias)
+        self.norm_q = RMSNorm(inner, eps=1e-5) if qk_norm else None
+        self.norm_k = RMSNorm(inner, eps=1e-5) if qk_norm else None
 
     def forward(self, x):
         B, L, _ = x.shape
         H = self.heads
-        q = self.to_q(x).transpose(1, 2).unflatten(1, (H, -1))  # B,H,d,L
-        k = self.to_k(x).transpose(1, 2).unflatten(1, (H, -1)).transpose(2, 3)  # B,H,L,d
-        v = self.to_v(x).transpose(1, 2).unflatten(1, (H, -1))  # B,H,d,L
+        q, k, v = self.to_q(x), self.to_k(x), self.to_v(x)
+        if self.norm_q is not None:
+            q = self.norm_q(q)
+            k = self.norm_k(k)
+        q = q.transpose(1, 2).unflatten(1, (H, -1))  # B,H,d,L
+        k = k.transpose(1, 2).unflatten(1, (H, -1)).transpose(2, 3)  # B,H,L,d
+        v = v.transpose(1, 2).unflatten(1, (H, -1))  # B,H,d,L
 
         q = F.relu(q).float()
         k = F.relu(k).float()
@@ -112,7 +119,7 @@ class LinearAttention(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    def __init__(self, dim, heads, head_dim):
+    def __init__(self, dim, heads, head_dim, qk_norm=False):
         super().__init__()
         inner = heads * head_dim
         self.heads = heads
@@ -120,13 +127,19 @@ class CrossAttention(nn.Module):
         self.to_k = nn.Linear(dim, inner)
         self.to_v = nn.Linear(dim, inner)
         self.to_out = nn.ModuleList([nn.Linear(inner, dim), nn.Dropout(0.0)])
+        self.norm_q = RMSNorm(inner, eps=1e-5) if qk_norm else None
+        self.norm_k = RMSNorm(inner, eps=1e-5) if qk_norm else None
 
     def forward(self, x, context, mask=None):
         B, L, _ = x.shape
         H = self.heads
-        q = self.to_q(x).view(B, L, H, -1).transpose(1, 2)
-        k = self.to_k(context).view(B, context.shape[1], H, -1).transpose(1, 2)
-        v = self.to_v(context).view(B, context.shape[1], H, -1).transpose(1, 2)
+        q, k, v = self.to_q(x), self.to_k(context), self.to_v(context)
+        if self.norm_q is not None:
+            q = self.norm_q(q)
+            k = self.norm_k(k)
+        q = q.view(B, L, H, -1).transpose(1, 2)
+        k = k.view(B, context.shape[1], H, -1).transpose(1, 2)
+        v = v.view(B, context.shape[1], H, -1).transpose(1, 2)
         bias = None
         if mask is not None:
             bias = ((1.0 - mask.float()) * -10000.0)[:, None, None, :]
@@ -152,11 +165,11 @@ class GLUMBConv(nn.Module):
 
 
 class SanaBlock(nn.Module):
-    def __init__(self, dim, heads, head_dim, cross_heads, cross_head_dim, mlp_ratio=2.5):
+    def __init__(self, dim, heads, head_dim, cross_heads, cross_head_dim, mlp_ratio=2.5, qk_norm=False):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
-        self.attn1 = LinearAttention(dim, heads, head_dim)
-        self.attn2 = CrossAttention(dim, cross_heads, cross_head_dim)
+        self.attn1 = LinearAttention(dim, heads, head_dim, qk_norm)
+        self.attn2 = CrossAttention(dim, cross_heads, cross_head_dim, qk_norm)
         self.norm2 = nn.LayerNorm(dim, elementwise_affine=False, eps=1e-6)
         self.ff = GLUMBConv(dim, mlp_ratio)
         self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim**0.5)
@@ -183,7 +196,7 @@ class SanaTransformerTwin(nn.Module):
     def __init__(self, in_channels=32, out_channels=32, num_attention_heads=70,
                  attention_head_dim=32, num_cross_attention_heads=20,
                  cross_attention_head_dim=112, caption_channels=2304,
-                 num_layers=20, patch_size=1, mlp_ratio=2.5):
+                 num_layers=20, patch_size=1, mlp_ratio=2.5, qk_norm=False):
         super().__init__()
         dim = num_attention_heads * attention_head_dim
         self.patch_size = patch_size
@@ -195,7 +208,8 @@ class SanaTransformerTwin(nn.Module):
         self.caption_norm = RMSNorm(dim, eps=1e-5)
         self.transformer_blocks = nn.ModuleList([
             SanaBlock(dim, num_attention_heads, attention_head_dim,
-                      num_cross_attention_heads, cross_attention_head_dim, mlp_ratio)
+                      num_cross_attention_heads, cross_attention_head_dim, mlp_ratio,
+                      qk_norm)
             for _ in range(num_layers)
         ])
         self.scale_shift_table = nn.Parameter(torch.randn(2, dim) / dim**0.5)
