@@ -12,8 +12,11 @@ reference helpers vanish in JAX:
 """
 
 __all__ = [
+    "checkpoint",
+    "get_module_device",
     "get_module_dtype",
     "promote_dtype",
+    "skip_init",
 ]
 
 import functools
@@ -82,3 +85,58 @@ def promote_dtype(fn: Callable = None, min_dtype: jnp.dtype = jnp.float32) -> Ca
         return jax.tree.map(down, out)
 
     return wrapper
+
+
+def checkpoint(f: Callable, reentrant: bool = False) -> Callable:
+    r"""Applies activation rematerialization to a function — the JAX-native
+    equivalent of the reference's torch checkpointing wrapper
+    (`azula/nn/utils.py:119-166`).
+
+    JAX has a single (non-reentrant-like) semantics: gradients flow to every
+    input, explicit or captured, and both forward and reverse AD compose. The
+    ``reentrant`` flag is accepted for API compatibility and ignored.
+
+    Arguments:
+        f: A function.
+        reentrant: Ignored (reference-API compatibility).
+    """
+
+    del reentrant
+
+    return jax.checkpoint(f)
+
+
+def skip_init(ctor: Callable, *args, **kwargs):
+    r"""Constructs a module without materializing its parameters — the
+    JAX-native equivalent of the reference's ``skip_init`` TorchFunctionMode
+    (`azula/nn/utils.py:170-187`).
+
+    Returns an *abstract* module (ShapeDtypeStruct leaves); fill it with
+    :func:`azula_tpu.utils.pytree.load_state_dict` before use. Unlike the
+    reference's context-manager form, this takes the constructor directly —
+    tracing, not mode-patching, is how JAX skips work.
+
+    Example:
+        >>> layer = skip_init(Linear, 3, 5, key=jax.random.key(0))
+    """
+
+    from ..utils.pytree import filter_eval_shape
+
+    return filter_eval_shape(ctor, *args, **kwargs)
+
+
+def get_module_device(module):
+    r"""Returns the device (or sharding) of a module's first array leaf, or
+    :py:`None` for abstract/empty modules (reference `azula/nn/utils.py:45-64`;
+    in JAX, arrays carry their placement, so this is introspection only)."""
+
+    for leaf in jax.tree.leaves(module):
+        if hasattr(leaf, "sharding"):
+            devices = getattr(leaf, "devices", None)
+            if devices is not None:
+                ds = devices() if callable(devices) else devices
+                if len(ds) == 1:
+                    return next(iter(ds))
+            return leaf.sharding
+
+    return None

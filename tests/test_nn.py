@@ -179,3 +179,28 @@ def test_patchify_roundtrip(spatial, key):
 
     y = Unpatchify(patch)(p)
     assert jnp.allclose(y, x)
+
+
+def test_reference_nn_utils_aliases(key):
+    r"""The reference's nn.utils surface (checkpoint / skip_init /
+    get_module_device) is available under its own names."""
+
+    from azula_tpu.nn.layers import Linear
+    from azula_tpu.nn.utils import checkpoint, get_module_device, skip_init
+    from azula_tpu.utils.pytree import load_state_dict, state_dict
+
+    lin = skip_init(Linear, 3, 5, key=key)
+    assert lin.weight.shape == (3, 5) and not hasattr(lin.weight, "devices")
+
+    real = Linear(3, 5, key=key)
+    filled = load_state_dict(lin, state_dict(real))
+    x = jax.random.normal(key, (2, 3))
+    assert jnp.allclose(filled(x), real(x))
+
+    f = checkpoint(lambda w, v: jnp.tanh(v @ w), reentrant=True)
+    g = jax.grad(lambda w: jnp.sum(f(w, x)))(real.weight)
+    g_ref = jax.grad(lambda w: jnp.sum(jnp.tanh(x @ w)))(real.weight)
+    assert jnp.allclose(g, g_ref, atol=1e-6)
+
+    assert get_module_device(real) is not None
+    assert get_module_device(lin) is None
