@@ -5,7 +5,7 @@ jax.eval_shape — no parameter allocation, so even the 512px configs are cheap)
 import jax
 import pytest
 
-from azula_tpu.models import adm, jit, vdm  # noqa: F401  (registers cards.yaml lookups)
+from azula_tpu.models import adm, jit, sana, vdm  # noqa: F401  (registers cards.yaml lookups)
 from azula_tpu.models.utils import load_cards
 from azula_tpu.utils.pytree import partition
 
