@@ -159,7 +159,7 @@ def test_sana_denoiser(key):
         ("eldm", 6),
         ("sd", 6),
         ("flux", 1),
-        ("sana", 4),
+        ("sana", 8),
         ("adm", 6),
         ("vdm", 6),
         ("jit", 6),
