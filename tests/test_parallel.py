@@ -341,10 +341,13 @@ def test_flux_tp_forward_equality(devices, key):
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
 
 
-def test_sana_tp_forward_equality(devices, key):
+@pytest.mark.parametrize("qk_norm", [False, True], ids=["sana1", "sana1.5"])
+def test_sana_tp_forward_equality(devices, qk_norm, key):
     r"""The Sana linear DiT under SANA_TP_RULES on a (data=4, model=2) mesh
     matches the unsharded forward (linear- and cross-attention heads shard;
-    the GLU conv feed-forward stays replicated)."""
+    the GLU conv feed-forward stays replicated). The SANA 1.5 variant checks
+    that the across-heads qk RMSNorm reduces over the sharded axis correctly
+    (the layout of the 4.8B model, which needs TP most)."""
 
     from azula_tpu.models.sana.backbone import SanaTransformer
     from azula_tpu.parallel.tp import SANA_TP_RULES
@@ -361,6 +364,7 @@ def test_sana_tp_forward_equality(devices, key):
         caption_channels=24,
         num_layers=2,
         patch_size=1,
+        qk_norm=qk_norm,
         key=key,
     )
 
