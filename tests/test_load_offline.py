@@ -65,7 +65,8 @@ def _tiny_clip_sd():
     return _np_sd(clip)
 
 
-def test_sd_load_model_offline(monkeypatch, tmp_path):
+@pytest.mark.parametrize("card", ["sd_1.5", "sd_2"], ids=["sd1-eps", "sd2-vpred"])
+def test_sd_load_model_offline(card, monkeypatch, tmp_path):
     import torch
     import transformers
 
@@ -79,6 +80,8 @@ def test_sd_load_model_offline(monkeypatch, tmp_path):
 
     torch.manual_seed(0)
 
+    linear_proj = card == "sd_2"  # the SD2 transformer-projection layout
+
     unet_cfg = dict(  # noqa: C408
         in_channels=4,
         out_channels=4,
@@ -87,7 +90,7 @@ def test_sd_load_model_offline(monkeypatch, tmp_path):
         cross_attention_dim=24,
         attention_head_dim=2,
         cross_attention_levels=(True, False),
-        use_linear_projection=False,
+        use_linear_projection=linear_proj,
     )
     vae_cfg = dict(  # noqa: C408
         in_channels=3,
@@ -114,21 +117,16 @@ def test_sd_load_model_offline(monkeypatch, tmp_path):
 
     monkeypatch.setattr(sd, "_hub_file", hub_file)
     monkeypatch.setattr(sys.modules["transformers"], "CLIPTokenizer", _StubTokenizer)
-    monkeypatch.setattr(
-        sd,
-        "ARCHS",
-        {
-            "sd1": dict(  # noqa: C408
-                unet=dict(  # noqa: C408
-                    cross_attention_dim=24,
-                    attention_head_dim=2,
-                    use_linear_projection=False,
-                ),
-                clip=CLIP_TINY,
-                scale=0.18215,
-            )
-        },
+    tiny_arch = dict(  # noqa: C408
+        unet=dict(  # noqa: C408
+            cross_attention_dim=24,
+            attention_head_dim=2,
+            use_linear_projection=linear_proj,
+        ),
+        clip=CLIP_TINY,
+        scale=0.18215,
     )
+    monkeypatch.setattr(sd, "ARCHS", {"sd1": tiny_arch, "sd2": tiny_arch})
     monkeypatch.setattr(
         sd_backbone,
         "SDUNet",
@@ -145,7 +143,8 @@ def test_sd_load_model_offline(monkeypatch, tmp_path):
         ae_mod, "AutoencoderKL", functools.partial(ae_mod.AutoencoderKL, **vae_cfg)
     )
 
-    denoiser, autoencoder, textencoder = sd.load_model("sd_1.5", dtype=jnp.float32)
+    denoiser, autoencoder, textencoder = sd.load_model(card, dtype=jnp.float32)
+    assert denoiser.prediction == ("velocity" if card == "sd_2" else "epsilon")
 
     z_t = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
     ctx = jax.random.normal(jax.random.key(1), (1, 7, 24))
