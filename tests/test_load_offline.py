@@ -266,7 +266,10 @@ def test_flux_load_model_offline(monkeypatch, tmp_path):
     assert jnp.all(jnp.isfinite(q.mean))
 
 
-def test_sana_load_model_offline(monkeypatch, tmp_path):
+@pytest.mark.parametrize(
+    "card", ["sana_0.6b_512", "sana_1.5_1.6b_1024"], ids=["sana1", "sana1.5-qknorm"]
+)
+def test_sana_load_model_offline(card, monkeypatch, tmp_path):
     import torch
     import transformers
 
@@ -294,6 +297,7 @@ def test_sana_load_model_offline(monkeypatch, tmp_path):
         num_layers=2,
         patch_size=1,
         mlp_ratio=2.5,
+        qk_norm="1.5" in card,
     )
     gemma_cfg = dict(  # noqa: C408
         vocab_size=127,
@@ -351,7 +355,11 @@ def test_sana_load_model_offline(monkeypatch, tmp_path):
     monkeypatch.setattr(mutils, "load_hub_safetensors", fake_load)
     monkeypatch.setattr(hub, "download", lambda url, **kw: str(tmp_path / "tok"))
     monkeypatch.setattr(sys.modules["transformers"], "GemmaTokenizerFast", _StubTokenizer)
-    monkeypatch.setattr(sana, "ARCHS", {"0.6b": dit_cfg, "1.6b": dit_cfg})
+    monkeypatch.setattr(
+        sana,
+        "ARCHS",
+        {"0.6b": dit_cfg, "1.6b": dit_cfg, "1.5-1.6b": dit_cfg, "1.5-4.8b": dit_cfg},
+    )
     monkeypatch.setattr(
         gemma_mod,
         "Gemma2TextModel",
@@ -361,7 +369,7 @@ def test_sana_load_model_offline(monkeypatch, tmp_path):
         sana_ae, "AutoencoderDC", functools.partial(sana_ae.AutoencoderDC, **dcae_cfg)
     )
 
-    denoiser, autoencoder, textencoder = sana.load_model("sana_0.6b_512", dtype=jnp.float32)
+    denoiser, autoencoder, textencoder = sana.load_model(card, dtype=jnp.float32)
 
     z_t = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))
     ctx = jax.random.normal(jax.random.key(1), (1, 6, 32))
