@@ -382,3 +382,98 @@ def test_sana_load_model_offline(card, monkeypatch, tmp_path):
     z = autoencoder.encode(x)
     assert z.shape == (1, 8, 8, 8)
     assert autoencoder.decode(z).shape == x.shape
+
+
+def test_edm_load_model_offline(monkeypatch, tmp_path):
+    r"""edm.load_model runs end-to-end on a tiny fake NVlabs pickle."""
+
+    import torch
+
+    from test_models_edm import SONG_SMALL, SONG_VARIANTS
+    from torch_twins import edm_unet as twin_mod
+
+    import azula_tpu.models.edm as edm
+
+    torch.manual_seed(0)
+
+    cfg = {**SONG_SMALL, **SONG_VARIANTS["ddpmpp"]}
+    twin = twin_mod.EDMPrecond(twin_mod.SongUNet(**cfg))
+    twin.eval()
+
+    path = tmp_path / "fake-edm.pkl"
+    args = (cfg["img_resolution"], cfg["in_channels"], cfg["out_channels"])
+    kwargs = {
+        k: v
+        for k, v in cfg.items()
+        if k not in ("img_resolution", "in_channels", "out_channels")
+    }
+    twin_mod.fake_nvlabs_pickle(path, twin, args, kwargs)
+
+    monkeypatch.setattr(edm, "download", lambda url, **kw: str(path))
+
+    denoiser = edm.load_model("cifar10_32x32", dtype=jnp.float32)
+
+    x_t = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    q = denoiser(x_t, jnp.full((2,), 0.5))
+    assert q.mean.shape == x_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+
+def test_eldm_load_model_offline(monkeypatch, tmp_path):
+    r"""eldm.load_model runs end-to-end: EDM2 pickle with encoder statistics
+    plus a tiny VAE checkpoint."""
+
+    import torch
+
+    from safetensors.numpy import save_file
+    from test_models_eldm import SMALL as EDM2_SMALL
+    from torch_twins import edm2_unet as twin2
+    from torch_twins.edm_unet import fake_edm2_pickle
+    from torch_twins.vae import AutoencoderKLTwin
+
+    import azula_tpu.models.autoencoder as ae_mod
+    import azula_tpu.models.eldm as eldm
+
+    torch.manual_seed(0)
+
+    twin = twin2.Precond(twin2.UNet(**EDM2_SMALL), label_dim=EDM2_SMALL["label_dim"])
+    twin.eval()
+
+    pkl = tmp_path / "fake-edm2.pkl"
+    args = (
+        EDM2_SMALL["img_resolution"],
+        EDM2_SMALL["img_channels"],
+        EDM2_SMALL["label_dim"],
+    )
+    kwargs = {
+        k: v
+        for k, v in EDM2_SMALL.items()
+        if k not in ("img_resolution", "img_channels", "label_dim")
+    }
+    fake_edm2_pickle(pkl, twin, args, kwargs, shift=0.25, scale=2.0)
+
+    vae_cfg = dict(  # noqa: C408
+        in_channels=3,
+        latent_channels=4,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+    )
+    vae_path = tmp_path / "vae.safetensors"
+    save_file(_np_sd(AutoencoderKLTwin(**vae_cfg)), str(vae_path))
+
+    def fake_download(url, **kw):
+        return str(vae_path) if "sd-vae" in url else str(pkl)
+
+    monkeypatch.setattr(eldm, "download", fake_download)
+    monkeypatch.setattr(
+        ae_mod, "AutoencoderKL", functools.partial(ae_mod.AutoencoderKL, **vae_cfg)
+    )
+
+    denoiser, autoencoder = eldm.load_model("imagenet_512x512_xs")
+
+    z_t = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    q = denoiser(z_t, jnp.full((2,), 0.5), label=jax.nn.one_hot(jnp.asarray([1, 2]), 10))
+    assert q.mean.shape == z_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+    assert jnp.allclose(autoencoder.shift, 0.25) and jnp.allclose(autoencoder.scale, 2.0)

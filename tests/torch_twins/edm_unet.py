@@ -424,3 +424,45 @@ def fake_nvlabs_pickle(path, precond: nn.Module, model_args, model_kwargs,
     finally:
         for name in created:
             sys.modules.pop(name, None)
+
+
+def fake_edm2_pickle(path, precond, model_args, model_kwargs, shift=0.25, scale=2.0):
+    r"""Serializes `{'ema': precond, 'encoder': stats}` in the EDM2
+    persistence format (an encoder module carrying latent bias/scale)."""
+
+    import pickle
+    import torch
+
+    class Encoder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("bias", torch.full((4,), float(shift)))
+            self.register_buffer("scale", torch.full((4,), float(scale)))
+
+    created = []
+    for name in ("torch_utils", "torch_utils.persistence"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+    sys.modules["torch_utils"].persistence = sys.modules["torch_utils.persistence"]
+
+    def _reconstruct_persistent_obj(meta):  # pragma: no cover - dump-time only
+        return meta
+
+    _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
+    _reconstruct_persistent_obj.__qualname__ = "_reconstruct_persistent_obj"
+    sys.modules["torch_utils.persistence"]._reconstruct_persistent_obj = (
+        _reconstruct_persistent_obj
+    )
+
+    try:
+        ema = _stubify(precond, class_name="Precond", init_kwargs=dict(model_kwargs))
+        ema.meta["state"]["_init_args"] = model_args
+        ema.meta["state"]["_init_kwargs"] = dict(model_kwargs)
+        ema.meta["state"]["_modules"]["unet"] = _stubify(precond.unet)
+        enc = _stubify(Encoder(), class_name="StabilityVAEEncoder")
+        with open(path, "wb") as f:
+            pickle.dump({"ema": ema, "encoder": enc}, f)
+    finally:
+        for name in created:
+            sys.modules.pop(name, None)
