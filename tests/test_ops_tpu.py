@@ -182,3 +182,27 @@ def test_cross_attention_falls_back(key):
 
     assert out.shape == (B, H, L, D)
     assert jnp.allclose(out, ref, atol=1e-5)
+
+
+@requires_tpu
+def test_flash_attention_blocked_ragged_k_grads(key):
+    r"""Gradients through the ragged-length blocked path match XLA (the
+    backward re-tiles with exact divisors, so the masked forward and the
+    blockwise backward must agree)."""
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, L, D = 1, 2, 2304, 64
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) ** 2)
+
+    g = jax.grad(loss, argnums=(1, 2, 3))(dot_product_attention, q, k, v)
+    g_ref = jax.grad(loss, argnums=(1, 2, 3))(_xla_attention, q, k, v)
+
+    for a, b in zip(g, g_ref):
+        assert jnp.max(jnp.abs(a - b)) < 2e-3
