@@ -169,3 +169,44 @@ def test_modulated_wrapper(key):
 
     emb = TimeEmbedding(8, key=key)(jnp.asarray(0.5))
     assert emb.shape == (8,)
+
+
+def test_data_pipeline(key):
+    r"""batches / prefetch_to_device / epochs: shapes, shuffling, epoch count,
+    device placement, and sharded staging on the virtual mesh."""
+
+    import numpy as np
+
+    from azula_tpu.utils.data import batches, epochs, prefetch_to_device
+
+    x = np.arange(20 * 3, dtype=np.float32).reshape(20, 3)
+    y = np.arange(20)
+    data = {"x": x, "y": y}
+
+    # plain batching drops the ragged tail and covers each example once
+    got = list(batches(data, 8))
+    assert len(got) == 2 and got[0]["x"].shape == (8, 3)
+
+    # shuffled batching is a permutation
+    seen = np.concatenate([b["y"] for b in batches(data, 4, key=key)])
+    assert sorted(seen.tolist()) == list(range(20))
+    assert not np.array_equal(seen, np.arange(20))
+
+    # prefetch stages onto device and preserves order/content
+    staged = list(prefetch_to_device(batches(data, 4), size=2))
+    assert len(staged) == 5
+    assert isinstance(staged[0]["x"], jax.Array)
+    assert np.allclose(
+        np.concatenate([np.asarray(b["x"]) for b in staged]), x
+    )
+
+    # epochs: num_epochs x batches-per-epoch, resharded over the mesh
+    from azula_tpu.parallel import data_sharding, make_mesh
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh()
+        stream = list(
+            epochs(data, 8, key=key, num_epochs=3, sharding=data_sharding(mesh))
+        )
+        assert len(stream) == 6
+        assert len(stream[0]["x"].sharding.device_set) == 8
