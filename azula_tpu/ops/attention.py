@@ -350,7 +350,10 @@ def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float) -> bool
     B, H, L, D = q.shape
 
     # Lane/sublane alignment; small or ragged shapes fall back to XLA.
-    if not (L >= 128 and L % 128 == 0 and D % 64 == 0 and D <= 256):
+    # The L >= 512 floor is measured, not aesthetic: below it XLA's fused
+    # attention wins in context (dit32 bench 1.74x faster at L=256 via XLA;
+    # adm256 neutral) and the L x L materialization is tiny anyway.
+    if not (L >= 512 and L % 128 == 0 and D % 64 == 0 and D <= 256):
         return False
 
     if mask is not None:

@@ -84,7 +84,79 @@ def _adm256_cfg(key):
     return "adm256_cfg_ddim64_sampling_throughput", CFGDenoiser(denoiser), 8, (256, 256, 3), BASELINE_IMAGES_PER_SEC / 2
 
 
-WORKLOADS = {"adm256": _adm256, "adm256_cfg": _adm256_cfg, "unet32": _unet32}
+def _dit32(key):
+    r"""BASELINE workload 3: the patchified transformer path — a DiT-S-class
+    ViT (22.5M params, patch 2, 256 tokens at 32px).
+
+    Bar: 12.33 GF per forward (XLA cost analysis) x 64 steps = 789 GF/image;
+    A100 bf16 at 40% MFU (125 TF/s) -> ~158 img/s. Measured on v5e:
+    110.8 img/s = 87 TF/s = 44% MFU — *above* the 40% the bar assumes; the
+    0.70x ratio is the v5e/A100 peak-FLOPs gap (197 vs 312), not efficiency
+    (the XLA-attention dispatch fix took this from 63.6 to 110.8 img/s).
+    """
+
+    from azula_tpu.denoise import KarrasDenoiser
+    from azula_tpu.nn.embedding import Modulated
+    from azula_tpu.nn.vit import ViT
+    from azula_tpu.noise import VPSchedule
+
+    k1, k2 = jax.random.split(key)
+
+    backbone = Modulated(
+        ViT(
+            3,
+            3,
+            mod_features=64,
+            hid_channels=384,
+            hid_blocks=12,
+            patch_size=2,
+            attention_heads=6,
+            key=k1,
+        ),
+        64,
+        key=k2,
+    ).astype(jnp.bfloat16)
+
+    return "dit32_ddim64_sampling_throughput", KarrasDenoiser(backbone, VPSchedule()), 128, (32, 32, 3), 158.0
+
+
+def _mmps32(key):
+    r"""BASELINE workload 5: Gaussian posterior-guided inverse problem —
+    MMPS inpainting (observe the left half) through the unet32 denoiser.
+
+    Bar: each guided step costs ~7 forward-equivalents — 1 forward, the
+    guidance jvp+vjp pair (~3x), and one gmres matvec which is itself a
+    jvp+vjp pair (~3x) — so the unet32 bar (590 img/s) scales to ~84 img/s.
+    Measured on v5e: 90.5 img/s (1.08x).
+    """
+
+    from azula_tpu.guidance import MMPSDenoiser
+    from azula_tpu.linalg.covariance import IsotropicCovariance
+
+    _, denoiser, _, shape, _ = _unet32(key)
+
+    B = 64
+
+    def A(x):
+        return x[..., :16, :].reshape(*x.shape[:-3], -1)
+
+    x_true = jax.random.normal(jax.random.fold_in(key, 1), (B, *shape))
+    y = A(x_true) + 0.05 * jax.random.normal(jax.random.fold_in(key, 2), (B, 16 * 32 * 3))
+
+    guided = MMPSDenoiser(
+        denoiser, y, A, IsotropicCovariance(0.05**2), solver="gmres", iterations=1
+    )
+
+    return "mmps32_inpainting_ddim64_throughput", guided, B, shape, 84.0
+
+
+WORKLOADS = {
+    "adm256": _adm256,
+    "adm256_cfg": _adm256_cfg,
+    "unet32": _unet32,
+    "dit32": _dit32,
+    "mmps32": _mmps32,
+}
 
 
 def _train32() -> None:

@@ -19,7 +19,7 @@ requires_tpu = pytest.mark.skipif(
 
 
 @requires_tpu
-@pytest.mark.parametrize("L,D", [(128, 64), (256, 64), (1024, 128), (4096, 64)])
+@pytest.mark.parametrize("L,D", [(512, 64), (768, 64), (1024, 128), (4096, 64)])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_flash_attention_matches_xla(L, D, dtype, key):
     k1, k2, k3 = jax.random.split(key, 3)
@@ -61,7 +61,7 @@ def test_conv3x3_matches_xla(shape, key):
 
 
 @requires_tpu
-@pytest.mark.parametrize("L", [256, 4096])
+@pytest.mark.parametrize("L", [512, 4096])
 @pytest.mark.parametrize("mask_kind", ["causal", "padding", "full4d"])
 def test_flash_attention_masked(L, mask_kind, key):
     r"""Boolean masks fold into the flash kernels as an additive bias; values
@@ -107,7 +107,6 @@ def test_flash_attention_masked(L, mask_kind, key):
 @pytest.mark.parametrize(
     "L,D,dtype",
     [
-        (128, 64, jnp.float32),
         (512, 64, jnp.float32),
         (1024, 128, jnp.bfloat16),
         (4096, 64, jnp.bfloat16),  # blocked (online-softmax) forward path
