@@ -231,10 +231,26 @@ ARCHS = {
 }
 
 
+# Exact card-name -> architecture mapping (every registry entry); free-form
+# names fall back to size-token heuristics.
+CARD_ARCHS = {
+    "sana_0.6b_512": "0.6b",
+    "sana_0.6b_1024": "0.6b",
+    "sana_1.6b_512": "1.6b",
+    "sana_1.6b_1024": "1.6b",
+    "sana_1.6b_2048": "1.6b",
+    "sana_1.6b_4096": "1.6b",
+    "sana_1.5_1.6b_1024": "1.5-1.6b",
+    "sana_1.5_4.8b_1024": "1.5-4.8b",
+}
+
+
 def _arch(name: str) -> dict:
+    if name in CARD_ARCHS:
+        return ARCHS[CARD_ARCHS[name]]
     if "4.8b" in name:
         return ARCHS["1.5-4.8b"]
-    if "1.5" in name:
+    if "1.5_" in name or name.startswith("sana_1.5"):
         return ARCHS["1.5-1.6b"]
     if "0.6b" in name:
         return ARCHS["0.6b"]

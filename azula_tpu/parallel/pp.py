@@ -18,7 +18,7 @@ but the stack does not, or when the ICI all-reduce of TP is the bottleneck.
 
 References:
     | GPipe: Efficient Training of Giant Neural Networks using Pipeline Parallelism (Huang et al., 2019)
-    | https://arxiv.org/abs/1811.16045
+    | https://arxiv.org/abs/1811.06965
 """
 
 from __future__ import annotations
@@ -36,6 +36,17 @@ from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.pytree import combine, partition
+
+
+def _pvary(x, axes):
+    r"""Marks an array as varying over manual axes, across jax versions
+    (`pcast` replaces the deprecated `pvary`; older versions need neither)."""
+
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axes, to="varying")
+    if hasattr(jax.lax, "pvary"):
+        return jax.lax.pvary(x, axes)
+    return x
 
 
 def stack_modules(modules: Sequence):
@@ -153,8 +164,8 @@ def pipeline_blocks(
             return state, outputs
 
         # mark the carries as device-varying (they mix in axis_index/ppermute)
-        state = jax.lax.pvary(jnp.zeros_like(xm[0]), (axis,))
-        outputs = jax.lax.pvary(jnp.zeros_like(xm), (axis,))
+        state = _pvary(jnp.zeros_like(xm[0]), (axis,))
+        outputs = _pvary(jnp.zeros_like(xm), (axis,))
 
         _, outputs = jax.lax.fori_loop(0, M + S - 1, tick, (state, outputs))
 

@@ -51,6 +51,12 @@ def batches(
     leaves = jax.tree.leaves(data)
     n = leaves[0].shape[0]
 
+    if drop_last and batch_size > n:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds the dataset size {n}; with "
+            "drop_last this would yield no batches"
+        )
+
     if key is not None:
         perm = np.asarray(jax.random.permutation(key, n))
     else:
@@ -82,8 +88,6 @@ def prefetch_to_device(
         sharding: An optional :class:`jax.sharding.Sharding` for the batches.
     """
 
-    queue = collections.deque()
-
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
@@ -91,14 +95,22 @@ def prefetch_to_device(
 
     it = iter(iterator)
 
+    if size <= 0:  # prefetching disabled: plain staging
+        for batch in it:
+            yield put(batch)
+        return
+
+    queue = collections.deque()
+    done = object()  # exhaustion sentinel (None is a valid batch pytree)
+
     for batch in itertools.islice(it, size):
         queue.append(put(batch))
 
     while queue:
         yield queue.popleft()
 
-        batch = next(it, None)
-        if batch is not None:
+        batch = next(it, done)
+        if batch is not done:
             queue.append(put(batch))
 
 

@@ -210,3 +210,25 @@ def test_data_pipeline(key):
         )
         assert len(stream) == 6
         assert len(stream[0]["x"].sharding.device_set) == 8
+
+
+def test_data_pipeline_edge_cases(key):
+    r"""Oversized batches raise; prefetch=0 stages without queueing; None
+    batches pass through (object sentinel, not None)."""
+
+    import numpy as np
+    import pytest as pt
+
+    from azula_tpu.utils.data import batches, prefetch_to_device
+
+    x = np.arange(10.0)
+
+    with pt.raises(ValueError):
+        next(batches(x, 16))
+
+    staged = list(prefetch_to_device(batches(x, 5), size=0))
+    assert len(staged) == 2
+
+    mixed = [np.ones(2), None, np.zeros(2)]
+    out = list(prefetch_to_device(iter(mixed), size=2))
+    assert len(out) == 3 and out[1] is None
