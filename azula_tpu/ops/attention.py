@@ -333,7 +333,7 @@ def _pallas_attention_blocked(
 _FULL_KV_MAX_L = 2048
 
 
-def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float) -> bool:
+def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float, floor: int = 512) -> bool:
     if dropout_rate > 0:
         return False
     if jax.default_backend() != "tpu":
@@ -350,10 +350,10 @@ def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float) -> bool
     B, H, L, D = q.shape
 
     # Lane/sublane alignment; small or ragged shapes fall back to XLA.
-    # The L >= 512 floor is measured, not aesthetic: below it XLA's fused
-    # attention wins in context (dit32 bench 1.74x faster at L=256 via XLA;
-    # adm256 neutral) and the L x L materialization is tiny anyway.
-    if not (L >= 512 and L % 128 == 0 and D % 64 == 0 and D <= 256):
+    # The default L >= 512 floor is measured, not aesthetic: below it XLA's
+    # fused attention wins in context (dit32 bench 1.74x faster at L=256 via
+    # XLA; adm256 neutral) and the L x L materialization is tiny anyway.
+    if not (L >= max(floor, 128) and L % 128 == 0 and D % 64 == 0 and D <= 256):
         return False
 
     if mask is not None:
@@ -677,14 +677,15 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     key: Array | None = None,
     scale: float | None = None,
+    implementation: str | None = None,
 ) -> Array:
     r"""Computes scaled dot-product attention.
 
     .. math:: \mathrm{softmax}\left(\frac{q k^\top}{\sqrt{D}}\right) v
 
-    Dispatches to the Pallas flash-attention kernel on TPU for unmasked,
-    dropout-free attention with aligned shapes; otherwise to a fused XLA
-    implementation.
+    Dispatches to the Pallas flash-attention kernel on TPU for long
+    (:math:`L \ge 512`), dropout-free self-attention with aligned shapes —
+    the measured crossover — and to a fused XLA implementation otherwise.
 
     Arguments:
         q: Queries, with shape :math:`(*, H, L, D)`.
@@ -694,10 +695,16 @@ def dot_product_attention(
         dropout_rate: Attention-weight dropout rate.
         key: PRNG key, required when ``dropout_rate > 0``.
         scale: Logit scale; defaults to :math:`1 / \sqrt{D}`.
+        implementation: :py:`None` (measured auto-dispatch), `'pallas'`
+            (force the flash kernels; raises if the shape is ineligible), or
+            `'xla'` — mirroring :func:`jax.nn.dot_product_attention`.
 
     Returns:
         The attention output, with shape :math:`(*, H, L, D)`.
     """
+
+    if implementation not in (None, "auto", "pallas", "xla"):
+        raise ValueError(f"unknown attention implementation '{implementation}'")
 
     if scale is None:
         scale = 1 / math.sqrt(q.shape[-1])
@@ -720,7 +727,16 @@ def dot_product_attention(
         weights = jnp.where(keep, weights / (1 - dropout_rate), 0.0)
         return jnp.einsum("...qk,...kd->...qd", weights.astype(q.dtype), v)
 
-    if _use_pallas(q, k, v, mask, dropout_rate):
+    eligible = _use_pallas(q, k, v, mask, dropout_rate, floor=1 if implementation == "pallas" else 512)
+
+    if implementation == "pallas" and not eligible:
+        raise ValueError(
+            "implementation='pallas' requires a TPU backend and a dropout-free "
+            "self-attention with L % 128 == 0, D % 64 == 0, D <= 256 and a "
+            "boolean (or no) mask"
+        )
+
+    if eligible and implementation in (None, "auto", "pallas"):
         if mask is None:
             return _flash(q, k, v, scale)
         bias, mode = _mask_to_bias(mask, q)

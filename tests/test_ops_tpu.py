@@ -205,3 +205,21 @@ def test_flash_attention_blocked_ragged_k_grads(key):
 
     for a, b in zip(g, g_ref):
         assert jnp.max(jnp.abs(a - b)) < 2e-3
+
+
+@requires_tpu
+def test_attention_implementation_override(key):
+    r"""implementation='pallas' forces the flash kernel below the auto-dispatch
+    floor; 'xla' forces the fused XLA path; both match."""
+
+    q = jax.random.normal(key, (1, 2, 256, 64))
+
+    auto = dot_product_attention(q, q, q)  # < 512 tokens -> XLA by default
+    forced = dot_product_attention(q, q, q, implementation="pallas")
+    xla = dot_product_attention(q, q, q, implementation="xla")
+
+    assert jnp.allclose(auto, xla, atol=1e-6)
+    assert jnp.max(jnp.abs(forced - xla)) < 2e-4
+
+    with pytest.raises(ValueError):
+        dot_product_attention(q[..., :60], q[..., :60], q[..., :60], implementation="pallas")
