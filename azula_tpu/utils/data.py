@@ -20,6 +20,7 @@ __all__ = [
     "batches",
     "epochs",
     "prefetch_to_device",
+    "process_shard",
 ]
 
 import collections
@@ -29,6 +30,36 @@ import jax
 import numpy as np
 
 from collections.abc import Iterable, Iterator
+
+
+def process_shard(data, index: int | None = None, count: int | None = None):
+    r"""Returns this host's contiguous shard of a dataset (multi-host data
+    loading: each process feeds its own slice of the global batch).
+
+    .. code-block:: python
+
+        local = process_shard(x_train)          # on every host, after
+        for batch in epochs(local, per_host_bs, key=key):  # initialize_distributed()
+            ...
+
+    Arguments:
+        data: A pytree of arrays with a shared leading dimension.
+        index: The process index (defaults to :func:`jax.process_index`).
+        count: The process count (defaults to :func:`jax.process_count`).
+    """
+
+    if index is None:
+        index = jax.process_index()
+    if count is None:
+        count = jax.process_count()
+
+    n = jax.tree.leaves(data)[0].shape[0]
+    per = n // count
+
+    if per == 0:
+        raise ValueError(f"dataset of {n} examples cannot shard over {count} processes")
+
+    return jax.tree.map(lambda x: x[index * per : (index + 1) * per], data)
 
 
 def batches(

@@ -232,3 +232,26 @@ def test_data_pipeline_edge_cases(key):
     mixed = [np.ones(2), None, np.zeros(2)]
     out = list(prefetch_to_device(iter(mixed), size=2))
     assert len(out) == 3 and out[1] is None
+
+
+def test_process_shard():
+    r"""Per-process dataset sharding: contiguous, exhaustive over full rounds,
+    drops the ragged tail consistently."""
+
+    import numpy as np
+
+    from azula_tpu.utils.data import process_shard
+
+    x = np.arange(10)
+
+    shards = [process_shard(x, index=i, count=4) for i in range(4)]
+    assert all(s.shape == (2,) for s in shards)
+    assert np.concatenate(shards).tolist() == list(range(8))
+
+    # default single-process: identity-sized
+    assert process_shard(x).shape == (10,)
+
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        process_shard(np.arange(3), index=0, count=4)
