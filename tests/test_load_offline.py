@@ -158,6 +158,22 @@ def test_sd_load_model_offline(card, monkeypatch, tmp_path):
 
     assert textencoder.tokenizer.model_max_length == 77
 
+    # the full text-to-image flow: CFG-guided DDIM over latents, then decode
+    from azula_tpu.guidance import CFGDenoiser
+    from azula_tpu.sample import DDIMSampler
+
+    cfg = CFGDenoiser(denoiser, batched=True)
+    sampler = DDIMSampler(cfg, steps=4)
+    z0 = sampler(
+        sampler.init(jax.random.key(4), (1, 16, 16, 4)),
+        positive={"prompt_embeds": ctx},
+        negative={"prompt_embeds": jnp.zeros_like(ctx)},
+        guidance=4.0,
+    )
+    img = autoencoder.decode(z0)
+    assert img.shape == (1, 32, 32, 3)  # the tiny 2-level VAE upsamples 2x
+    assert jnp.all(jnp.isfinite(img))
+
 
 def test_flux_load_model_offline(monkeypatch, tmp_path):
     import torch
