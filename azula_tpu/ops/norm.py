@@ -56,16 +56,36 @@ def group_norm(
     # profile (measured ~50% of the ADM-256 forward on v5e); the (B, HW, C)
     # -> (B, C) sum/sumsq pair fuses into a single bandwidth-bound pass, and
     # the per-group fold then runs on a tiny (B, C) array.
+    #
+    # The moments are *shifted* by a per-channel pilot value (the first
+    # spatial element) before squaring: the raw E[x^2] - E[x]^2 fold cancels
+    # catastrophically in float32 when |mean| >> std, while every term of the
+    # shifted identity below stays O(n * var). The identity is exact for any
+    # shift, so gradients are exact too.
     xf = x.reshape(B, -1, C).astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=1)  # (B, C)
-    s2 = jnp.sum(jnp.square(xf), axis=1)  # (B, C)
+    shift = xf[:, :1, :]  # (B, 1, C) pilot per channel
+    d = xf - shift
+    t1 = jnp.sum(d, axis=1)  # (B, C)
+    t2 = jnp.sum(jnp.square(d), axis=1)  # (B, C)
 
-    n = (x.size // B) // groups
-    gs1 = jnp.sum(s1.reshape(B, groups, -1), axis=-1)  # (B, G)
-    gs2 = jnp.sum(s2.reshape(B, groups, -1), axis=-1)
+    HW = x.size // (B * C)  # spatial elements per channel
+    n = HW * (C // groups)  # elements per group
 
-    mean = gs1 / n
-    var = jnp.maximum(gs2 / n - jnp.square(mean), 0.0)
+    Kg = shift.reshape(B, groups, -1)  # (B, G, C/G)
+    t1g = t1.reshape(B, groups, -1)
+    t2g = t2.reshape(B, groups, -1)
+
+    mean = jnp.sum(t1g + HW * Kg, axis=-1) / n  # (B, G)
+
+    # sum (x - mean)^2 = sum d^2 + 2 sum_c e_c t1_c + HW sum_c e_c^2
+    # with e_c = K_c - mean (all on the small (B, G, C/G) fold).
+    e = Kg - mean[..., None]
+    var = (
+        jnp.sum(t2g, axis=-1)
+        + 2 * jnp.sum(e * t1g, axis=-1)
+        + HW * jnp.sum(jnp.square(e), axis=-1)
+    ) / n
+    var = jnp.maximum(var, 0.0)
     inv = jax.lax.rsqrt(var + eps)
 
     # Broadcast per-group stats to per-channel (B, C)

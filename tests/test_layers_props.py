@@ -85,6 +85,22 @@ def test_group_norm_statistics(key):
     assert jnp.max(jnp.abs(var - 1)) < 1e-3
 
 
+def test_group_norm_large_mean(key):
+    r"""Float32 statistics survive |mean| >> std (the raw E[x^2] - E[x]^2 fold
+    cancels catastrophically here; the shifted-moment fold must not)."""
+
+    x = 4096.0 + 0.1 * jax.random.normal(key, (2, 16, 16, 32))
+
+    y = GroupNorm(8, 32)(x)
+
+    g = y.reshape(2, -1, 8, 4)
+    mean = g.mean(axis=(1, 3))
+    var = g.var(axis=(1, 3))
+
+    assert jnp.max(jnp.abs(mean)) < 1e-2
+    assert jnp.max(jnp.abs(var - 1)) < 1e-2
+
+
 def test_group_norm_silu_fusion(key):
     r"""The fused GroupNorm-SiLU equals the unfused composition."""
 
