@@ -67,19 +67,44 @@ class CFGDenoiser(Denoiser):
             :math:`\mu = (1 + \omega) \mu_\phi(x_t \mid c_+) - \omega \mu_\phi(x_t \mid c_-)`.
         """
 
-        if self.batched and positive.keys() == negative.keys():
+        if self.batched:
+            # Loud contract instead of a silent two-call fallback: fusing
+            # requires the positive and negative conditioning to be congruent.
+            if positive.keys() != negative.keys():
+                raise ValueError(
+                    "CFGDenoiser(batched=True) requires positive and negative "
+                    "conditioning to share keys; got "
+                    f"positive={sorted(positive)} vs negative={sorted(negative)}. "
+                    "Pass batched=False for asymmetric conditioning."
+                )
+
             B = x_t.shape[0]
+
+            def batchify(a):
+                # Dim 0 in (1, B) is read as a batch axis; anything else is an
+                # unbatched leaf and gets one. (A leaf whose leading dim
+                # coincidentally equals B is indistinguishable from a batched
+                # one — document rather than guess further.)
+                if a.ndim == 0 or a.shape[0] not in (1, B):
+                    a = a[None]
+                return jnp.broadcast_to(a, (B, *a.shape[1:]))
+
+            def fuse(name, p, n):
+                p, n = batchify(jnp.asarray(p)), batchify(jnp.asarray(n))
+                if p.shape != n.shape:
+                    raise ValueError(
+                        f"CFGDenoiser(batched=True): conditioning '{name}' has "
+                        f"incompatible shapes {p.shape} vs {n.shape} after "
+                        "batch broadcasting"
+                    )
+                return jnp.concatenate([p, n], axis=0)
 
             x2 = jnp.concatenate([x_t, x_t], axis=0)
             t2 = jnp.concatenate([jnp.broadcast_to(t, (B,))] * 2, axis=0)
-            cond = jax.tree.map(
-                lambda p, n: jnp.concatenate(
-                    [jnp.broadcast_to(p, (B, *p.shape[1:])), jnp.broadcast_to(n, (B, *n.shape[1:]))],
-                    axis=0,
-                ),
-                {k: jnp.asarray(v) for k, v in positive.items()},
-                {k: jnp.asarray(v) for k, v in negative.items()},
-            )
+            cond = {
+                k: jax.tree.map(lambda p, n, _k=k: fuse(_k, p, n), positive[k], negative[k])
+                for k in positive
+            }
 
             mean = self.denoiser(x2, t2, **cond, **kwargs).mean
             pos, neg = mean[:B], mean[B:]

@@ -131,6 +131,13 @@ def test_cfg_batched(key):
     x0 = sampler(sampler.init(key, (4, CHANNELS)), positive=pos, negative=neg, guidance=1.0)
     assert jnp.all(jnp.isfinite(x0))
 
+    # batched=True is a loud contract, not a silent fallback: key-set or
+    # shape mismatches raise instead of quietly running two calls
+    with pytest.raises(ValueError, match="share keys"):
+        one(x_t, t, positive=pos, negative={}, guidance=1.5)
+    with pytest.raises(ValueError, match="incompatible shapes"):
+        one(x_t, t, positive=pos, negative={"label": jnp.zeros((4, 2), int)}, guidance=1.5)
+
 
 @pytest.mark.parametrize(
     "make_denoiser",
