@@ -151,7 +151,12 @@ def pipeline_blocks(
             inject = xm[jnp.clip(t, 0, M - 1)]
             state = jnp.where(s == 0, inject, shifted)
 
-            state = stage_apply(state)
+            # Stage s holds real data only during ticks s <= t < s + M; skip
+            # the block applications on fill/drain garbage (saves ~(S-1)/(M+S-1)
+            # of the stage FLOPs; the per-device predicate is scalar, so this
+            # is a genuine conditional, not a select)
+            valid = (t >= s) & (t < s + M)
+            state = jax.lax.cond(valid, stage_apply, lambda h: h, state)
 
             # the last stage finishes microbatch t - (S - 1)
             out_idx = t - (S - 1)
