@@ -40,6 +40,15 @@ class MultiheadSelfAttention(Module):
         qk_norm: Whether to use query-key RMS-normalization.
         rope: Whether to use learned continuous rotary positional embedding.
         dropout: The attention dropout rate in :math:`[0, 1]`.
+        implementation: The attention implementation — :py:`None` (measured
+            auto-dispatch), `'pallas'`, `'xla'` (forwarded to
+            :func:`azula_tpu.ops.attention.dot_product_attention`), or
+            `'ring'`: sequence-parallel exact ring attention
+            (:func:`azula_tpu.parallel.ring.ring_attention_local`). With
+            `'ring'` the module must run inside a `shard_map` whose
+            ``ring_axis`` shards the token dimension; K/V blocks then stream
+            around the ICI ring and no device ever holds the full sequence.
+        ring_axis: The mesh axis name carrying sequence shards (with `'ring'`).
         key: A PRNG key for parameter initialization.
     """
 
@@ -52,6 +61,8 @@ class MultiheadSelfAttention(Module):
         qk_norm: bool = True,
         rope: bool = False,
         dropout: float | None = None,
+        implementation: str | None = None,
+        ring_axis: str = "seq",
         *,
         key: Array,
     ) -> None:
@@ -84,6 +95,8 @@ class MultiheadSelfAttention(Module):
 
         self.heads = attention_heads
         self.dropout = 0.0 if dropout is None else dropout
+        self.implementation = implementation
+        self.ring_axis = ring_axis
 
     def __call__(
         self,
@@ -112,14 +125,25 @@ class MultiheadSelfAttention(Module):
             theta = rearrange(theta, "... L (H C) -> ... H L C", H=self.heads)
             q, k = apply_rope(q, k, theta)
 
-        y = dot_product_attention(
-            q,
-            k,
-            v,
-            mask=mask,
-            dropout_rate=self.dropout if key is not None else 0.0,
-            key=key,
-        )
+        if self.implementation == "ring":
+            if mask is not None:
+                raise NotImplementedError("ring attention does not support masks")
+            if key is not None and self.dropout > 0:
+                raise NotImplementedError("ring attention does not support dropout")
+
+            from ..parallel.ring import ring_attention_local
+
+            y = ring_attention_local(q, k, v, axis=self.ring_axis)
+        else:
+            y = dot_product_attention(
+                q,
+                k,
+                v,
+                mask=mask,
+                dropout_rate=self.dropout if key is not None else 0.0,
+                key=key,
+                implementation=self.implementation,
+            )
 
         y = rearrange(y, "... H L C -> ... L (H C)")
         y = self.y_proj(y)

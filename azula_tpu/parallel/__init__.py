@@ -18,9 +18,12 @@ from .mesh import (  # noqa: F401
 )
 from .batch import sample_sharded  # noqa: F401
 from .pp import pipeline_blocks, stack_modules  # noqa: F401
-from .ring import ring_attention  # noqa: F401
+from .ring import ring_attention, ring_attention_local  # noqa: F401
 from .tp import (  # noqa: F401
     DIT_TP_RULES,
+    FLUX_TP_RULES,
+    SANA_TP_RULES,
+    SD_TP_RULES,
     fsdp_shardings,
     module_shardings,
     shard_module,

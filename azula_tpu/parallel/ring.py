@@ -19,6 +19,7 @@ from __future__ import annotations
 
 __all__ = [
     "ring_attention",
+    "ring_attention_local",
 ]
 
 import functools
@@ -70,6 +71,41 @@ def _ring_body(axis_name: str, scale: float):
         return (o / l).astype(q.dtype)
 
     return local_attention
+
+
+def ring_attention_local(
+    q: Array,
+    k: Array,
+    v: Array,
+    axis: str,
+    scale: float | None = None,
+) -> Array:
+    r"""Ring attention on *local shards*, for use inside an enclosing
+    `shard_map` whose ``axis`` shards the sequence dimension.
+
+    This is the model-layer entry point: a sequence-sharded backbone (e.g. a
+    :class:`azula_tpu.nn.dit.DiT` with ``implementation='ring'``) runs its
+    entire forward under one `shard_map`, and each
+    :class:`~azula_tpu.nn.attention.MultiheadSelfAttention` calls this with
+    its local :math:`(B, H, L_\mathrm{local}, D)` blocks. For a standalone
+    call on globally-sharded arrays use :func:`ring_attention`, which wraps
+    this in its own `shard_map`.
+
+    Arguments:
+        q: Local queries, with shape :math:`(B, H, L_\mathrm{local}, D)`.
+        k: Local keys, same shape.
+        v: Local values, same shape.
+        axis: The manual-mesh axis name carrying the sequence shards.
+        scale: Logit scale; defaults to :math:`1/\sqrt{D}`.
+
+    Returns:
+        The local attention output, with shape :math:`(B, H, L_\mathrm{local}, D)`.
+    """
+
+    if scale is None:
+        scale = 1 / math.sqrt(q.shape[-1])
+
+    return _ring_body(axis, scale)(q, k, v)
 
 
 def ring_attention(
