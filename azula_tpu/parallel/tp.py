@@ -13,6 +13,7 @@ __all__ = [
     "DIT_TP_RULES",
     "FLUX_TP_RULES",
     "SANA_TP_RULES",
+    "SD_TP_RULES",
     "fsdp_shardings",
     "shard_module",
     "shard_module_fsdp",
@@ -70,6 +71,19 @@ FLUX_TP_RULES = (
 SANA_TP_RULES = (
     (r"\.(attn1|attn2)\.(to_q|to_k|to_v)\.weight$", P(None, "model")),
     (r"\.(attn1|attn2)\.(to_q|to_k|to_v)\.bias$", P("model")),
+    (r"\.(attn1|attn2)\.to_out\.weight$", P("model", None)),
+)
+
+# Attention-parallel layout for the SD UNet's transformer stages
+# (`models.sd.backbone.BasicTransformerBlock`): self- and cross-attention
+# heads shard over 'model' (column-parallel q/k/v, row-parallel out; one
+# all-reduce per attention). The GEGLU feed-forward stays replicated — its
+# gate splits the expansion channels in half, which has no contiguous
+# Megatron sharding (same constraint as Sana's GLUMBConv) — and so do the
+# convolutional ResNet stages (TP targets the attention FLOPs; convs are
+# batch-parallel). 'model' must divide the head count (8 for SD 1.x/2).
+SD_TP_RULES = (
+    (r"\.(attn1|attn2)\.(to_q|to_k|to_v)\.weight$", P(None, "model")),
     (r"\.(attn1|attn2)\.to_out\.weight$", P("model", None)),
 )
 

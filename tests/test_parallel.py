@@ -523,3 +523,44 @@ def test_pipeline_blocks_grads(devices, key):
     g_pp = jax.grad(pp_loss)(params)
 
     assert jnp.allclose(g_seq["w"], jax.device_get(g_pp["w"]), atol=1e-4)
+
+
+def test_sd_tp_forward_equality(devices, key):
+    r"""The SD UNet under SD_TP_RULES on a (data=4, model=2) mesh matches the
+    unsharded forward (attention heads shard over 'model'; convolutional
+    stages stay replicated)."""
+
+    from azula_tpu.models.sd.backbone import SDUNet
+    from azula_tpu.parallel.tp import SD_TP_RULES
+
+    mesh = make_mesh(data=4, model=2)
+
+    model = SDUNet(
+        in_channels=4,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        cross_attention_dim=24,
+        attention_head_dim=2,
+        cross_attention_levels=(True, False),
+        key=key,
+    )
+
+    x = jax.random.normal(key, (4, 16, 16, 4))
+    t = jnp.asarray([1.0, 5.0, 9.0, 3.0])
+    ctx = jax.random.normal(jax.random.fold_in(key, 1), (4, 7, 24))
+
+    expected = model(x, t, ctx)
+
+    sharded = shard_module(model, mesh, rules=SD_TP_RULES)
+
+    specs = {
+        str(leaf.sharding.spec)
+        for leaf in jax.tree.leaves(sharded)
+        if hasattr(leaf, "sharding")
+    }
+    assert any("model" in s for s in specs), specs
+
+    out = sharded(shard_batch(x, mesh), shard_batch(t, mesh), shard_batch(ctx, mesh))
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
