@@ -346,13 +346,11 @@ class AutoencoderKL(Module):
         return self.decoder(z)
 
 
-def convert_vae_state_dict(module: AutoencoderKL, torch_sd) -> dict:
-    r"""Converts a diffusers `AutoencoderKL` state dict
-    (`vae/diffusion_pytorch_model.safetensors`).
-
-    Handles both attention key generations (`to_q/to_k/to_v/to_out.0` and the
-    legacy `query/key/value/proj_attn`).
-    """
+def canonicalize_vae_keys(torch_sd) -> dict:
+    r"""Renames diffusers `AutoencoderKL` keys to the converter's canonical
+    space, covering both attention key generations (`to_q/to_k/to_v/to_out.0`
+    and the legacy `query/key/value/proj_attn`). Key-only; values pass
+    through."""
 
     legacy = {
         "query": "to_q",
@@ -370,6 +368,15 @@ def convert_vae_state_dict(module: AutoencoderKL, torch_sd) -> dict:
         k = k.replace("downsamplers.0.conv.", "downsamplers.0.")
         k = k.replace("upsamplers.0.conv.", "upsamplers.0.")
         sd[k] = v
+
+    return sd
+
+
+def convert_vae_state_dict(module: AutoencoderKL, torch_sd) -> dict:
+    r"""Converts a diffusers `AutoencoderKL` state dict
+    (`vae/diffusion_pytorch_model.safetensors`)."""
+
+    sd = None if torch_sd is None else canonicalize_vae_keys(torch_sd)
 
     converter = Converter(
         sd, renames={("VAEAttention", "to_out"): "to_out.0"}

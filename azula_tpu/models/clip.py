@@ -175,9 +175,10 @@ class CLIPTextEncoder(Module):
         return self.final_layer_norm(x)
 
 
-def convert_clip_state_dict(module: CLIPTextEncoder, torch_sd) -> dict:
-    r"""Converts a `transformers.CLIPTextModel` state dict (the
-    `text_encoder/model.safetensors` of SD checkpoints)."""
+def canonicalize_clip_keys(torch_sd) -> dict:
+    r"""Renames `transformers.CLIPTextModel` keys to the converter's canonical
+    space (key-only; values pass through, so this also canonicalizes
+    key -> shape manifests)."""
 
     # transformers prefixes everything with text_model. and nests embeddings
     sd = {}
@@ -189,6 +190,15 @@ def convert_clip_state_dict(module: CLIPTextEncoder, torch_sd) -> dict:
         if k == "embeddings.position_ids":  # legacy buffer in old checkpoints
             continue
         sd[k] = v
+
+    return sd
+
+
+def convert_clip_state_dict(module: CLIPTextEncoder, torch_sd) -> dict:
+    r"""Converts a `transformers.CLIPTextModel` state dict (the
+    `text_encoder/model.safetensors` of SD checkpoints)."""
+
+    sd = None if torch_sd is None else canonicalize_clip_keys(torch_sd)
 
     converter = Converter(sd, norm_types=(_LayerNorm,))
     converter.array("token_embedding", "token_embedding.weight")

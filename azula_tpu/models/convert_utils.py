@@ -72,11 +72,19 @@ class Converter:
         renames: dict[tuple[str, str], str] | None = None,
         norm_types: tuple[type, ...] = (),
     ) -> None:
+        # ``torch_sd=None`` puts the converter in *manifest* mode: the walk
+        # records, for each source key the conversion would consume, the shape
+        # the checkpoint tensor must have (derived from the target module by
+        # inverting the layout transforms). Used to generate the per-card
+        # key -> shape manifests (`tools/gen_manifests.py`) that loaders diff
+        # against before converting.
+        self.record = torch_sd is None
         self.torch_sd = torch_sd
         self.renames = renames or {}
         self.norm_types = (GroupNorm,) + norm_types
         self.out: dict[str, np.ndarray] = {}
         self.used: set[str] = set()
+        self.manifest: dict[str, tuple | None] = {}
 
     # ---- leaf converters ----
 
@@ -84,7 +92,18 @@ class Converter:
         self.used.add(key)
         return self.torch_sd[key]
 
+    @staticmethod
+    def _shape(x) -> tuple:
+        return tuple(int(d) for d in x.shape)
+
     def linear(self, module: Linear, ours: str, theirs: str) -> None:
+        if self.record:
+            i, o = self._shape(module.weight)
+            self.manifest[f"{theirs}.weight"] = (o, i)  # trailing 1x1 tolerated
+            if module.bias is not None:
+                self.manifest[f"{theirs}.bias"] = (o,)
+            return
+
         w = _np(self._get(f"{theirs}.weight"))
 
         while w.ndim > 2:  # 1x1 convs used as linears
@@ -96,6 +115,13 @@ class Converter:
             self.out[f"{ours}.bias"] = _np(self._get(f"{theirs}.bias"))
 
     def conv(self, module: Conv, ours: str, theirs: str) -> None:
+        if self.record:
+            *k, i, o = self._shape(module.weight)  # (*k, in, out) HWIO
+            self.manifest[f"{theirs}.weight"] = (o, i, *k)
+            if module.bias is not None:
+                self.manifest[f"{theirs}.bias"] = (o,)
+            return
+
         w = _np(self._get(f"{theirs}.weight"))  # (out, in, *k)
         k = w.ndim - 2
         perm = tuple(range(2, 2 + k)) + (1, 0)
@@ -105,12 +131,25 @@ class Converter:
             self.out[f"{ours}.bias"] = _np(self._get(f"{theirs}.bias"))
 
     def norm(self, module, ours: str, theirs: str) -> None:
+        if self.record:
+            if getattr(module, "scale", None) is not None:
+                self.manifest[f"{theirs}.weight"] = self._shape(module.scale)
+            if getattr(module, "bias", None) is not None:
+                self.manifest[f"{theirs}.bias"] = self._shape(module.bias)
+            return
+
         if getattr(module, "scale", None) is not None:
             self.out[f"{ours}.scale"] = _np(self._get(f"{theirs}.weight"))
         if getattr(module, "bias", None) is not None:
             self.out[f"{ours}.bias"] = _np(self._get(f"{theirs}.bias"))
 
     def array(self, ours: str, theirs: str, transform=None) -> None:
+        if self.record:
+            # The inverse of an arbitrary transform is unknown: record the
+            # key with shape None (presence-only check).
+            self.manifest[theirs] = None
+            return
+
         w = _np(self._get(theirs))
         self.out[ours] = transform(w) if transform is not None else w
 
@@ -118,7 +157,7 @@ class Converter:
 
     def walk(self, module, ours: str = "", theirs: str = "") -> dict:
         self._walk(module, ours, theirs)
-        return self.out
+        return self.manifest if self.record else self.out
 
     def _join(self, prefix: str, name: str) -> str:
         return f"{prefix}.{name}" if prefix else name
@@ -147,5 +186,8 @@ class Converter:
     def unused(self) -> set[str]:
         r"""Returns the torch keys never consumed (should be empty for a
         faithful conversion)."""
+
+        if self.record:
+            return set()
 
         return set(self.torch_sd) - self.used

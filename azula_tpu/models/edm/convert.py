@@ -122,6 +122,15 @@ def stub_state_dict(stub: StubModule, prefix: str = "") -> dict:
 class _EDMConverter(Converter):
     def _walk(self, mod, ours: str, theirs: str) -> None:
         if isinstance(mod, EDMConv):
+            if self.record:
+                if mod.weight is not None:
+                    kh, kw, i, o = self._shape(mod.weight)
+                    self.manifest[f"{theirs}.weight"] = (o, i, kh, kw)
+                if mod.bias is not None:
+                    self.manifest[f"{theirs}.bias"] = self._shape(mod.bias)
+                kf = self._shape(mod.filter)
+                self.manifest[f"{theirs}.resample_filter"] = (1, 1, *kf)
+                return
             if mod.weight is not None:
                 w = _np(self._get(f"{theirs}.weight"))  # (out, in, k, k)
                 self.out[f"{ours}.weight"] = _transpose(w, (2, 3, 1, 0))

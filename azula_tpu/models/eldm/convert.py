@@ -25,6 +25,11 @@ class _ELDMConverter(_EDMConverter):
         from .backbone import EDM2Block
 
         if isinstance(mod, MPConv):
+            if self.record:
+                shape = self._shape(mod.weight)  # (*k, in, out) or (in, out)
+                *k2, i, o = shape
+                self.manifest[f"{theirs}.weight"] = (o, i, *k2)
+                return
             w = _np(self._get(f"{theirs}.weight"))  # (out, in, *k)
             perm = (2, 3, 1, 0) if w.ndim == 4 else (1, 0)
             self.out[f"{ours}.weight"] = _transpose(w, perm)
@@ -41,6 +46,9 @@ class _ELDMConverter(_EDMConverter):
             super()._walk(mod, ours, theirs)
 
     def gain(self, ours: str, theirs: str) -> None:
+        if self.record:
+            self.manifest[theirs] = None  # stored as () or (1,) across releases
+            return
         self.out[ours] = np.asarray(_np(self._get(theirs)), dtype=np.float32).reshape(())
 
 

@@ -257,8 +257,14 @@ def load_model(name: str = "flux_1_dev", dtype=jnp.bfloat16):
 
     guidance = "schnell" not in name  # dev is guidance-distilled
 
+    from ..autoencoder import canonicalize_vae_keys
+    from ..clip import canonicalize_clip_keys
+    from ..t5 import canonicalize_t5_keys
+    from ..utils import check_manifest
+
     # Transformer (sharded bf16)
     sd = load_hub_safetensors(repo, "transformer/diffusion_pytorch_model", variant)
+    check_manifest(sd, "flux", name, "transformer")
     transformer = filter_eval_shape(
         FluxTransformer, guidance_embeds=guidance, key=jax.random.key(0)
     )
@@ -269,6 +275,7 @@ def load_model(name: str = "flux_1_dev", dtype=jnp.bfloat16):
     # VAE: 16 latent channels, no quant convs; latents are 2x2-packed by the
     # wrapper (shift/scale factors of the published config)
     vae_sd = load_hub_safetensors(repo, "vae/diffusion_pytorch_model", variant)
+    check_manifest(vae_sd, "flux", name, "vae", canonicalize=canonicalize_vae_keys)
     vae = filter_eval_shape(
         AutoencoderKL, latent_channels=16, use_quant_conv=False, key=jax.random.key(0)
     )
@@ -277,10 +284,12 @@ def load_model(name: str = "flux_1_dev", dtype=jnp.bfloat16):
 
     # Text encoders: CLIP (pooled) + T5-XXL (sequence)
     clip_sd = load_hub_safetensors(repo, "text_encoder/model", variant)
+    check_manifest(clip_sd, "flux", name, "text_encoder", canonicalize=canonicalize_clip_keys)
     clip = filter_eval_shape(CLIPTextEncoder, key=jax.random.key(0))
     clip = load_state_dict(clip, convert_clip_state_dict(clip, clip_sd))
 
     t5_sd = load_hub_safetensors(repo, "text_encoder_2/model", variant)
+    check_manifest(t5_sd, "flux", name, "text_encoder_2", canonicalize=canonicalize_t5_keys)
     t5 = filter_eval_shape(T5Encoder, key=jax.random.key(0))
     t5 = load_state_dict(t5, convert_t5_state_dict(t5, t5_sd))
 

@@ -251,17 +251,26 @@ class Gemma2TextModel(Module):
         return self.norm(x)
 
 
-def convert_gemma_state_dict(module: Gemma2TextModel, torch_sd) -> dict:
-    r"""Converts a `transformers.Gemma2Model` state dict
-    (the `text_encoder/` safetensors of Sana checkpoints)."""
-
-    from .convert_utils import _np
+def canonicalize_gemma_keys(torch_sd) -> dict:
+    r"""Renames `transformers.Gemma2Model` keys to the converter's canonical
+    space (key-only; values pass through)."""
 
     sd = {}
     for k, v in torch_sd.items():
         k = k.removeprefix("model.")
         k = k.replace("layers.", "model_layers.")
         sd[k] = v
+
+    return sd
+
+
+def convert_gemma_state_dict(module: Gemma2TextModel, torch_sd) -> dict:
+    r"""Converts a `transformers.Gemma2Model` state dict
+    (the `text_encoder/` safetensors of Sana checkpoints)."""
+
+    from .convert_utils import _np
+
+    sd = None if torch_sd is None else canonicalize_gemma_keys(torch_sd)
 
     converter = Converter(sd, norm_types=(GemmaRMSNorm,))
     converter.array("embed_tokens", "embed_tokens.weight")

@@ -289,7 +289,11 @@ def load_model(name: str, dtype=jnp.bfloat16):
 
     arch = _arch(name)
 
+    from ..gemma import canonicalize_gemma_keys
+    from ..utils import check_manifest
+
     sd = load_hub_safetensors(repo, "transformer/diffusion_pytorch_model", variant)
+    check_manifest(sd, "sana", name, "transformer")
     transformer = filter_eval_shape(SanaTransformer, **arch, key=jax.random.key(0))
     transformer = load_state_dict(
         transformer, convert_sana_state_dict(transformer, sd)
@@ -300,6 +304,7 @@ def load_model(name: str, dtype=jnp.bfloat16):
     dtype_map = getattr(card, "dtype_map", None) or {}
 
     gemma_sd = load_hub_safetensors(repo, "text_encoder/model", None)
+    check_manifest(gemma_sd, "sana", name, "text_encoder", canonicalize=canonicalize_gemma_keys)
     gemma = filter_eval_shape(Gemma2TextModel, key=jax.random.key(0))
     gemma = load_state_dict(gemma, convert_gemma_state_dict(gemma, gemma_sd))
 
@@ -313,6 +318,7 @@ def load_model(name: str, dtype=jnp.bfloat16):
     )
 
     ae_sd = load_hub_safetensors(repo, "vae/diffusion_pytorch_model", None)
+    check_manifest(ae_sd, "sana", name, "vae")
     dcae = filter_eval_shape(AutoencoderDC, key=jax.random.key(0))
     dcae = load_state_dict(dcae, convert_dcae_state_dict(dcae, ae_sd))
 

@@ -286,10 +286,15 @@ def load_model(name: str, dtype=jnp.bfloat16):
     arch = _arch(name)
     variant = f".{card.variant}" if getattr(card, "variant", None) else ""
 
+    from ..autoencoder import canonicalize_vae_keys
+    from ..clip import canonicalize_clip_keys
+    from ..utils import check_manifest
+
     # UNet
     unet_sd = st.load_file(
         _hub_file(card.repo, f"unet/diffusion_pytorch_model{variant}.safetensors")
     )
+    check_manifest(unet_sd, "sd", name, "unet")
     unet = filter_eval_shape(SDUNet, **arch["unet"], key=jax.random.key(0))
     unet = load_state_dict(unet, convert_unet_state_dict(unet, unet_sd))
     unet = unet.astype(dtype)
@@ -300,12 +305,14 @@ def load_model(name: str, dtype=jnp.bfloat16):
     vae_sd = st.load_file(
         _hub_file(card.repo, f"vae/diffusion_pytorch_model{variant}.safetensors")
     )
+    check_manifest(vae_sd, "sd", name, "vae", canonicalize=canonicalize_vae_keys)
     vae = filter_eval_shape(AutoencoderKL, key=jax.random.key(0))
     vae = load_state_dict(vae, convert_vae_state_dict(vae, vae_sd))
     autoencoder = AutoEncoder(vae=vae.astype(dtype), scale=arch["scale"])
 
     # Text encoder
     clip_sd = st.load_file(_hub_file(card.repo, f"text_encoder/model{variant}.safetensors"))
+    check_manifest(clip_sd, "sd", name, "text_encoder", canonicalize=canonicalize_clip_keys)
     clip = filter_eval_shape(CLIPTextEncoder, **arch["clip"], key=jax.random.key(0))
     clip = load_state_dict(clip, convert_clip_state_dict(clip, clip_sd))
 

@@ -194,9 +194,9 @@ class T5Encoder(Module):
         return self.final_layer_norm(x)
 
 
-def convert_t5_state_dict(module: T5Encoder, torch_sd) -> dict:
-    r"""Converts a `transformers.T5EncoderModel` state dict
-    (the `text_encoder_2/` safetensors of Flux checkpoints)."""
+def canonicalize_t5_keys(torch_sd) -> dict:
+    r"""Renames `transformers.T5EncoderModel` keys to the converter's
+    canonical space (key-only; values pass through)."""
 
     sd = {}
     for k, v in torch_sd.items():
@@ -211,9 +211,30 @@ def convert_t5_state_dict(module: T5Encoder, torch_sd) -> dict:
             continue
         sd[k] = v
 
+    return sd
+
+
+def convert_t5_state_dict(module: T5Encoder, torch_sd) -> dict:
+    r"""Converts a `transformers.T5EncoderModel` state dict
+    (the `text_encoder_2/` safetensors of Flux checkpoints)."""
+
+    sd = None if torch_sd is None else canonicalize_t5_keys(torch_sd)
+
     converter = Converter(sd, norm_types=(T5LayerNorm,))
-    converter.used.add("shared")
+    if sd is not None:
+        converter.used.add("shared")
     out = converter.walk(module)
+
+    if sd is None:  # manifest mode: record the keys the code below consumes
+        out["shared"] = tuple(int(d) for d in module.shared.shape)
+        for i, block in enumerate(module.blocks):
+            bias = getattr(block.attn, "relative_attention_bias", None)
+            if bias is not None:
+                out[f"blocks.{i}.attn.relative_attention_bias.weight"] = tuple(
+                    int(d) for d in bias.shape
+                )
+        return out
+
     out["shared"] = np.asarray(
         sd["shared"].detach().cpu().float().numpy()
         if hasattr(sd["shared"], "detach")

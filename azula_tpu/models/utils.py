@@ -7,6 +7,8 @@ Capability parity with the reference `azula/plugins/utils.py:29-60`: the
 from __future__ import annotations
 
 __all__ = [
+    "check_manifest",
+    "generate_manifests",
     "load_cards",
     "load_hub_safetensors",
 ]
@@ -113,3 +115,181 @@ def load_hub_safetensors(repo: str, name: str, variant: str | None = None) -> di
         out.update(read(download(f"{base}/{prefix}{shard}")))
 
     return out
+
+
+def _manifest_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), "manifests")
+
+
+def check_manifest(
+    state_dict,
+    family: str,
+    card: str,
+    component: str,
+    canonicalize=None,
+) -> None:
+    r"""Diffs a checkpoint state dict against the card's expected key -> shape
+    manifest (generated offline by `tools/gen_manifests.py`) *before* any
+    conversion runs, so a wrong or drifted checkpoint fails with a named diff
+    instead of a silent mis-load.
+
+    Arguments:
+        state_dict: The raw checkpoint tensors (names -> tensors).
+        family: The model family (`'sd'`, `'flux'`, `'sana'`, ...).
+        card: The card name.
+        component: The checkpoint component (`'unet'`, `'vae'`, ...).
+        canonicalize: The family's key-canonicalization function, applied to
+            the checkpoint names before diffing (the manifests are recorded in
+            canonical key space).
+
+    Raises:
+        ValueError: On missing keys, unexpected keys, or shape mismatches.
+        A missing manifest file is not an error (manifests are best-effort
+        coverage; `tools/gen_manifests.py` regenerates them).
+    """
+
+    import json
+
+    path = os.path.join(_manifest_dir(), family, f"{card}.{component}.json")
+    if not os.path.exists(path):
+        return
+
+    with open(path) as f:
+        manifest = {k: (None if v is None else tuple(v)) for k, v in json.load(f).items()}
+
+    shapes = {k: tuple(int(d) for d in v.shape) for k, v in state_dict.items()}
+    if canonicalize is not None:
+        shapes = canonicalize(shapes)
+
+    missing = sorted(set(manifest) - set(shapes))
+    unexpected = sorted(set(shapes) - set(manifest))
+
+    def matches(got: tuple, want: tuple) -> bool:
+        if got == want:
+            return True
+        # tolerate trailing singleton dims (1x1 convs stored as linears)
+        while len(got) > len(want) and got[-1] == 1:
+            got = got[:-1]
+        return got == want
+
+    mismatched = [
+        f"{k}: got {shapes[k]}, expected {want}"
+        for k, want in manifest.items()
+        if want is not None and k in shapes and not matches(shapes[k], want)
+    ]
+
+    if missing or unexpected or mismatched:
+        parts = []
+        if missing:
+            parts.append(f"missing keys ({len(missing)}): {missing[:8]}")
+        if unexpected:
+            parts.append(f"unexpected keys ({len(unexpected)}): {unexpected[:8]}")
+        if mismatched:
+            parts.append(f"shape mismatches ({len(mismatched)}): {mismatched[:8]}")
+        raise ValueError(
+            f"checkpoint does not match the '{family}/{card}' {component} "
+            "manifest — wrong file, corrupted download, or upstream layout "
+            "drift:\n  " + "\n  ".join(parts)
+        )
+
+
+def generate_manifests(family: str, out_dir: str | None = None) -> list[str]:
+    r"""Regenerates the key -> shape manifests for one model family by running
+    its converters in manifest mode over abstractly-constructed modules
+    (`tools/gen_manifests.py` is the CLI over this).
+
+    Arguments:
+        family: `'sd'`, `'flux'` or `'sana'`.
+        out_dir: Manifest root (defaults to the packaged `manifests/`).
+
+    Returns:
+        The written file paths.
+    """
+
+    import jax
+    import json
+
+    from ..utils.pytree import filter_eval_shape
+
+    out_dir = out_dir or _manifest_dir()
+    written = []
+
+    def write(card, component, manifest):
+        path = os.path.join(out_dir, family, f"{card}.{component}.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            k: (list(v) if v is not None else None) for k, v in sorted(manifest.items())
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=0)
+            f.write("\n")
+        written.append(path)
+
+    key = jax.random.key(0)
+
+    if family == "sd":
+        from . import sd as sd_mod
+        from .autoencoder import AutoencoderKL, convert_vae_state_dict
+        from .clip import CLIPTextEncoder, convert_clip_state_dict
+        from .sd.backbone import SDUNet
+        from .sd.convert import convert_unet_state_dict
+
+        for card in load_cards("azula_tpu.models.sd"):
+            arch = sd_mod.ARCHS[card] if card in sd_mod.ARCHS else sd_mod._arch(card)
+
+            unet = filter_eval_shape(SDUNet, **arch["unet"], key=key)
+            write(card, "unet", convert_unet_state_dict(unet, None))
+
+            vae = filter_eval_shape(AutoencoderKL, key=key)
+            write(card, "vae", convert_vae_state_dict(vae, None))
+
+            clip = filter_eval_shape(CLIPTextEncoder, **arch["clip"], key=key)
+            write(card, "text_encoder", convert_clip_state_dict(clip, None))
+
+    elif family == "flux":
+        from .autoencoder import AutoencoderKL, convert_vae_state_dict
+        from .clip import CLIPTextEncoder, convert_clip_state_dict
+        from .flux.backbone import FluxTransformer
+        from .flux.convert import convert_flux_state_dict
+        from .t5 import T5Encoder, convert_t5_state_dict
+
+        for card in load_cards("azula_tpu.models.flux"):
+            transformer = filter_eval_shape(
+                FluxTransformer, guidance_embeds="schnell" not in card, key=key
+            )
+            write(card, "transformer", convert_flux_state_dict(transformer, None))
+
+            vae = filter_eval_shape(
+                AutoencoderKL, latent_channels=16, use_quant_conv=False, key=key
+            )
+            write(card, "vae", convert_vae_state_dict(vae, None))
+
+            clip = filter_eval_shape(CLIPTextEncoder, key=key)
+            write(card, "text_encoder", convert_clip_state_dict(clip, None))
+
+            t5 = filter_eval_shape(T5Encoder, key=key)
+            write(card, "text_encoder_2", convert_t5_state_dict(t5, None))
+
+    elif family == "sana":
+        from . import sana as sana_mod
+        from .gemma import Gemma2TextModel, convert_gemma_state_dict
+        from .sana.autoencoder import AutoencoderDC, convert_dcae_state_dict
+        from .sana.backbone import SanaTransformer
+        from .sana.convert import convert_sana_state_dict
+
+        for card in load_cards("azula_tpu.models.sana"):
+            arch = sana_mod._arch(card)
+
+            transformer = filter_eval_shape(SanaTransformer, **arch, key=key)
+            write(card, "transformer", convert_sana_state_dict(transformer, None))
+
+            dcae = filter_eval_shape(AutoencoderDC, key=key)
+            write(card, "vae", convert_dcae_state_dict(dcae, None))
+
+            gemma = filter_eval_shape(Gemma2TextModel, key=key)
+            write(card, "text_encoder", convert_gemma_state_dict(gemma, None))
+
+    else:
+        raise ValueError(f"no manifest generator for family '{family}'")
+
+    return written

@@ -143,6 +143,15 @@ def test_sd_load_model_offline(card, monkeypatch, tmp_path):
         ae_mod, "AutoencoderKL", functools.partial(ae_mod.AutoencoderKL, **vae_cfg)
     )
 
+    # Regenerate the key->shape manifests for the tiny patched arch so the
+    # in-path `check_manifest` diff runs for real (not against the full-size
+    # packaged manifests).
+    import azula_tpu.models.utils as mutils
+
+    mdir = tmp_path / "manifests"
+    mutils.generate_manifests("sd", str(mdir))
+    monkeypatch.setattr(mutils, "_manifest_dir", lambda: str(mdir))
+
     denoiser, autoencoder, textencoder = sd.load_model(card, dtype=jnp.float32)
     assert denoiser.prediction == ("velocity" if card == "sd_2" else "epsilon")
 
@@ -271,7 +280,29 @@ def test_flux_load_model_offline(monkeypatch, tmp_path):
         t5_mod, "T5Encoder", functools.partial(t5_mod.T5Encoder, **t5_cfg)
     )
 
+    # Tiny-arch manifests so the in-path check_manifest diff runs for real
+    mdir = tmp_path / "manifests"
+    mutils.generate_manifests("flux", str(mdir))
+    monkeypatch.setattr(mutils, "_manifest_dir", lambda: str(mdir))
+
     denoiser, autoencoder, textencoder = flux.load_model("flux_1_dev", dtype=jnp.float32)
+
+    # ... and a wrong checkpoint fails loudly with a named diff
+    import pytest as _pytest
+
+    broken = dict(sds["transformer/"])
+    first = next(iter(broken))
+    broken[f"unexpected.{first}"] = broken.pop(first)
+    monkeypatch.setattr(
+        mutils,
+        "load_hub_safetensors",
+        lambda repo, name, variant=None: broken
+        if name.startswith("transformer/")
+        else fake_load(repo, name, variant),
+    )
+    with _pytest.raises(ValueError, match="manifest"):
+        flux.load_model("flux_1_dev", dtype=jnp.float32)
+    monkeypatch.setattr(mutils, "load_hub_safetensors", fake_load)
 
     # packed latent: 4 * 16 = 64 channels per 2x2 patch... here 4 * 4 = 16
     z_t = jax.random.normal(jax.random.key(0), (2, 4, 4, 16))
@@ -384,6 +415,11 @@ def test_sana_load_model_offline(card, monkeypatch, tmp_path):
     monkeypatch.setattr(
         sana_ae, "AutoencoderDC", functools.partial(sana_ae.AutoencoderDC, **dcae_cfg)
     )
+
+    # Tiny-arch manifests so the in-path check_manifest diff runs for real
+    mdir = tmp_path / "manifests"
+    mutils.generate_manifests("sana", str(mdir))
+    monkeypatch.setattr(mutils, "_manifest_dir", lambda: str(mdir))
 
     denoiser, autoencoder, textencoder = sana.load_model(card, dtype=jnp.float32)
 
