@@ -46,6 +46,42 @@ def _adm256(key):
     return "adm_imagenet256_ddim64_sampling_throughput", denoiser, 8, (256, 256, 3), BASELINE_IMAGES_PER_SEC
 
 
+def _sana1k(key):
+    r"""Serving bench for the realistic large-transformer workload: the Sana
+    1.6B linear-attention DiT at 1024px (32x32x32 latents, 1024 tokens),
+    20-step rectified-flow sampling with Gemma-width prompt embeddings
+    (reference `sana/__init__.py:165-235`; architecture of the
+    `sana_1.6b_1024` card).
+
+    Bar: 3.19 TF per forward (XLA cost analysis of the jitted backbone) x 20
+    steps = 63.9 TF/image; A100 bf16 at 40% MFU (125 TF/s) -> ~1.96 img/s.
+    """
+
+    from azula_tpu.models.sana import ARCHS, SanaDenoiser
+    from azula_tpu.models.sana.backbone import SanaTransformer
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    backbone = SanaTransformer(**ARCHS["1.6b"], key=k1).astype(jnp.bfloat16)
+    denoiser = SanaDenoiser(backbone)
+
+    cond = {
+        "prompt_embeds": jax.random.normal(k2, (1, 300, 2304), dtype=jnp.bfloat16),
+        "prompt_mask": jnp.ones((1, 300), dtype=jnp.bfloat16),
+    }
+
+    return {
+        "metric": "sana_1.6b_1024px_flow20_sampling_throughput",
+        "denoiser": denoiser,
+        "batch": 8,
+        "shape": (32, 32, 32),
+        "baseline": 1.96,
+        "steps": 20,
+        "cond": cond,
+        "key": k3,
+    }
+
+
 def _unet32(key):
     from azula_tpu.denoise import KarrasDenoiser
     from azula_tpu.nn.embedding import Modulated
@@ -156,10 +192,11 @@ WORKLOADS = {
     "unet32": _unet32,
     "dit32": _dit32,
     "mmps32": _mmps32,
+    "sana1k": _sana1k,
 }
 
 
-def _train32() -> None:
+def _train32() -> dict:
     r"""Training throughput on the unet32 model: jitted train step
     (forward + backward + adamw, buffer donation) at batch 256.
 
@@ -224,35 +261,48 @@ def _train32() -> None:
     images_per_sec = B * steps / dt
 
     print(f"platform={jax.default_backend()} batch={B} steps={steps} dt={dt:.3f}s times={[round(x, 3) for x in times]}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "unet32_train_step_throughput",
-                "value": round(images_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / 12587.0, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "unet32_train_step_throughput",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / 12587.0, 3),
+    }
+    print(json.dumps(result))
+    return result
 
 
-def main(workload: str = "adm256") -> None:
+def main(workload: str = "adm256") -> dict:
     from azula_tpu.sample import DDIMSampler
 
     if workload == "train32":
-        _train32()
-        return
+        return _train32()
 
     key = jax.random.key(0)
     k_model, k_init = jax.random.split(key)
 
-    metric, denoiser, batch, shape, baseline = WORKLOADS[workload](k_model)
+    spec = WORKLOADS[workload](k_model)
 
-    steps = 64
+    if not isinstance(spec, dict):
+        metric, denoiser, batch, shape, baseline = spec
+        spec = {
+            "metric": metric,
+            "denoiser": denoiser,
+            "batch": batch,
+            "shape": shape,
+            "baseline": baseline,
+        }
+
+    metric = spec["metric"]
+    denoiser = spec["denoiser"]
+    batch = spec["batch"]
+    shape = spec["shape"]
+    baseline = spec["baseline"]
+    steps = spec.get("steps", 64)
+    cond = spec.get("cond", {})
 
     sampler = DDIMSampler(denoiser, eta=0.0, steps=steps)
 
-    x1 = sampler.init(k_init, (batch, *shape))
+    x1 = sampler.init(spec.get("key", k_init), (batch, *shape))
 
     if workload == "adm256_cfg":
         labels = jnp.arange(batch) % 1000
@@ -261,13 +311,11 @@ def main(workload: str = "adm256") -> None:
             negative={"label": jnp.zeros(batch, dtype=labels.dtype)},
             guidance=1.5,
         )
-    else:
-        cond = {}
 
     # Synchronize through a scalar fetch: on some remote-TPU transports
     # block_until_ready returns before execution completes.
     def run_sync():
-        return float(jnp.sum(sampler(x1, **cond)))
+        return float(jnp.sum(sampler(x1, **cond).astype(jnp.float32)))
 
     # Warmup (compile)
     run_sync()
@@ -287,17 +335,75 @@ def main(workload: str = "adm256") -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / baseline, 3),
-            }
+    result = {
+        "metric": metric,
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / baseline, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+def run_all() -> None:
+    r"""Runs every workload, printing one JSON line each, and appends a
+    round-over-round row per workload to BENCH_NOTES.md (machine-readable
+    perf record for all BASELINE configs, not just the driver's flagship)."""
+
+    import datetime
+    import pathlib
+    import subprocess
+
+    results = {}
+    for name in [*WORKLOADS, "train32"]:
+        try:
+            results[name] = main(name)
+        except Exception as e:  # record the failure, keep going
+            print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            results[name] = {"metric": name, "value": None, "vs_baseline": None}
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=pathlib.Path(__file__).parent,
+        ).stdout.strip()
+    except Exception:
+        commit = "?"
+
+    date = datetime.date.today().isoformat()
+    notes = pathlib.Path(__file__).parent / "BENCH_NOTES.md"
+
+    if not notes.exists():
+        notes.write_text(
+            "# Bench history — all BASELINE workloads\n\n"
+            "One row per `bench.py --all` run (images/sec/chip; `vs` = ratio "
+            "to the A100-class bar documented per workload in bench.py).\n\n"
+            "| date | commit | platform | "
+            + " | ".join(f"{w} (vs)" for w in [*WORKLOADS, "train32"])
+            + " |\n|---|---|---|"
+            + "---|" * (len(WORKLOADS) + 1)
+            + "\n"
         )
+
+    def cell(r):
+        if r.get("value") is None:
+            return "fail"
+        return f"{r['value']} ({r['vs_baseline']})"
+
+    row = (
+        f"| {date} | {commit} | {jax.default_backend()} | "
+        + " | ".join(cell(results[w]) for w in [*WORKLOADS, "train32"])
+        + " |\n"
     )
+    with notes.open("a") as f:
+        f.write(row)
+
+    print(f"appended to {notes}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "adm256")
+    arg = sys.argv[1] if len(sys.argv) > 1 else "adm256"
+    if arg == "--all":
+        run_all()
+    else:
+        main(arg)
