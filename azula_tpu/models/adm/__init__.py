@@ -227,6 +227,10 @@ def load_model(name: str, dtype=None) -> AblatedDenoiser:
 
     denoiser = filter_eval_shape(make_model, **card.config)
 
+    from ..utils import check_manifest
+
+    check_manifest(state, "adm", name, "model")
+
     sd = convert_state_dict(denoiser.backbone, state)
     backbone = load_state_dict(denoiser.backbone, sd)
 

@@ -38,10 +38,26 @@ def _np(tensor) -> np.ndarray:
 
 class _Converter:
     def __init__(self, torch_sd) -> None:
+        # torch_sd=None puts the converter in manifest mode: the walk records
+        # each source key's expected shape instead of converting (see
+        # azula_tpu/models/convert_utils.py for the shared-converter analogue)
+        self.record = torch_sd is None
         self.torch_sd = torch_sd
         self.out = {}
+        self.manifest = {}
+
+    @staticmethod
+    def _shape(x) -> tuple:
+        return tuple(int(d) for d in x.shape)
 
     def linear(self, module: Linear, ours: str, theirs: str) -> None:
+        if self.record:
+            i, o = self._shape(module.weight)
+            self.manifest[f"{theirs}.weight"] = (o, i)  # trailing 1s tolerated
+            if module.bias is not None:
+                self.manifest[f"{theirs}.bias"] = (o,)
+            return
+
         w = _np(self.torch_sd[f"{theirs}.weight"])
 
         if w.ndim == 3:  # 1x1 conv1d used as a linear layer
@@ -53,6 +69,13 @@ class _Converter:
             self.out[f"{ours}.bias"] = _np(self.torch_sd[f"{theirs}.bias"])
 
     def conv(self, module: Conv, ours: str, theirs: str) -> None:
+        if self.record:
+            *k, i, o = self._shape(module.weight)
+            self.manifest[f"{theirs}.weight"] = (o, i, *k)
+            if module.bias is not None:
+                self.manifest[f"{theirs}.bias"] = (o,)
+            return
+
         w = _np(self.torch_sd[f"{theirs}.weight"])  # (out, in, kh, kw)
         self.out[f"{ours}.weight"] = np.ascontiguousarray(
             np.transpose(w, (2, 3, 1, 0))
@@ -62,6 +85,11 @@ class _Converter:
             self.out[f"{ours}.bias"] = _np(self.torch_sd[f"{theirs}.bias"])
 
     def norm(self, module: GroupNorm, ours: str, theirs: str) -> None:
+        if self.record:
+            self.manifest[f"{theirs}.weight"] = self._shape(module.scale)
+            self.manifest[f"{theirs}.bias"] = self._shape(module.bias)
+            return
+
         self.out[f"{ours}.scale"] = _np(self.torch_sd[f"{theirs}.weight"])
         self.out[f"{ours}.bias"] = _np(self.torch_sd[f"{theirs}.bias"])
 
@@ -108,7 +136,10 @@ def convert_state_dict(backbone: ADMUNet, torch_sd) -> dict[str, np.ndarray]:
     c.linear(backbone.time_embed[1], "time_embed.1", "time_embed.2")
 
     if backbone.label_emb is not None:
-        c.out["label_emb"] = _np(torch_sd["label_emb.weight"])
+        if c.record:
+            c.manifest["label_emb.weight"] = c._shape(backbone.label_emb)
+        else:
+            c.out["label_emb"] = _np(torch_sd["label_emb.weight"])
 
     for i, layers in enumerate(backbone.input_blocks):
         for j, layer in enumerate(layers):
@@ -124,4 +155,4 @@ def convert_state_dict(backbone: ADMUNet, torch_sd) -> dict[str, np.ndarray]:
     c.norm(backbone.out_norm, "out_norm", "out.0")
     c.conv(backbone.out_conv, "out_conv", "out.2")
 
-    return c.out
+    return c.manifest if c.record else c.out

@@ -289,6 +289,15 @@ def generate_manifests(family: str, out_dir: str | None = None) -> list[str]:
             gemma = filter_eval_shape(Gemma2TextModel, key=key)
             write(card, "text_encoder", convert_gemma_state_dict(gemma, None))
 
+    elif family == "adm":
+        from .adm import make_model
+        from .adm.convert import convert_state_dict
+
+        for card in load_cards("azula_tpu.models.adm"):
+            cfg = load_cards("azula_tpu.models.adm")[card].config
+            denoiser = filter_eval_shape(make_model, **cfg)
+            write(card, "model", convert_state_dict(denoiser.backbone, None))
+
     else:
         raise ValueError(f"no manifest generator for family '{family}'")
 

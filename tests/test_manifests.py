@@ -72,6 +72,7 @@ def test_packaged_manifests_cover_all_cards():
     r"""Every safetensors-family card ships manifests for each component the
     loader reads."""
 
+    import azula_tpu.models.adm  # noqa: F401
     import azula_tpu.models.flux  # noqa: F401
     import azula_tpu.models.sana  # noqa: F401
     import azula_tpu.models.sd  # noqa: F401
@@ -80,6 +81,7 @@ def test_packaged_manifests_cover_all_cards():
     import os
 
     components = {
+        "adm": ("model",),
         "sd": ("unet", "vae", "text_encoder"),
         "flux": ("transformer", "vae", "text_encoder", "text_encoder_2"),
         "sana": ("transformer", "vae", "text_encoder"),
@@ -129,3 +131,95 @@ def test_record_mode_matches_real_conversion():
             while len(got) > len(want) and got[-1] == 1:
                 got = got[:-1]
             assert got == tuple(want), (k, canonical[k], want)
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize(
+    "card,hidden,layers,heads,intermediate",
+    [("sd_1.5", 768, 12, 12, 3072), ("sd_2", 1024, 23, 16, 4096)],
+    ids=["sd1-vitL", "sd2-vitH"],
+)
+def test_sd_clip_manifest_matches_transformers(card, hidden, layers, heads, intermediate):
+    r"""The packaged CLIP text-encoder manifests match a *real*
+    `transformers.CLIPTextModel` at the published SD configurations — an
+    independent oracle (the manifest was generated from the native module)."""
+
+    transformers = pytest.importorskip("transformers")
+
+    from azula_tpu.models.clip import canonicalize_clip_keys
+    from azula_tpu.models.utils import check_manifest
+
+    config = transformers.CLIPTextConfig(
+        vocab_size=49408,
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        intermediate_size=intermediate,
+        max_position_embeddings=77,
+    )
+    model = transformers.CLIPTextModel(config)
+
+    check_manifest(
+        model.state_dict(), "sd", card, "text_encoder",
+        canonicalize=canonicalize_clip_keys,
+    )
+
+
+@pytest.mark.parity
+def test_sana_gemma_manifest_matches_transformers():
+    r"""The packaged Gemma text-encoder manifest matches a real
+    `transformers.Gemma2Model` at the published Gemma-2-2B configuration
+    (constructed on the meta device — shapes only, no 2B allocation)."""
+
+    accelerate = pytest.importorskip("accelerate")
+    transformers = pytest.importorskip("transformers")
+
+    from azula_tpu.models.gemma import canonicalize_gemma_keys
+    from azula_tpu.models.utils import check_manifest
+
+    config = transformers.Gemma2Config(
+        vocab_size=256000,
+        hidden_size=2304,
+        num_hidden_layers=26,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=256,
+        intermediate_size=9216,
+    )
+    with accelerate.init_empty_weights():
+        model = transformers.Gemma2Model(config)
+
+    check_manifest(
+        model.state_dict(), "sana", "sana_1.6b_1024", "text_encoder",
+        canonicalize=canonicalize_gemma_keys,
+    )
+
+
+@pytest.mark.parity
+def test_flux_t5_manifest_matches_transformers():
+    r"""The packaged T5-XXL manifest matches a real
+    `transformers.T5EncoderModel` at the published configuration (meta
+    device — shapes only, no 4.7B allocation)."""
+
+    accelerate = pytest.importorskip("accelerate")
+    transformers = pytest.importorskip("transformers")
+
+    from azula_tpu.models.t5 import canonicalize_t5_keys
+    from azula_tpu.models.utils import check_manifest
+
+    config = transformers.T5Config(
+        vocab_size=32128,
+        d_model=4096,
+        d_kv=64,
+        d_ff=10240,
+        num_layers=24,
+        num_heads=64,
+        feed_forward_proj="gated-gelu",
+    )
+    with accelerate.init_empty_weights():
+        model = transformers.T5EncoderModel(config)
+
+    check_manifest(
+        model.state_dict(), "flux", "flux_1_dev", "text_encoder_2",
+        canonicalize=canonicalize_t5_keys,
+    )

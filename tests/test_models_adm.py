@@ -211,3 +211,39 @@ def test_timestep_embedding_matches_reference():
 
     # float32 argument rounding at large t gives ~3e-5 vs the float64 oracle
     assert np.allclose(np.asarray(emb), expected.astype(np.float32), atol=1e-4)
+
+
+@pytest.mark.parametrize("card_name", ["imagenet_64x64_cond", "imagenet_256x256"])
+def test_manifest_matches_reference_state_dict(reference, card_name):
+    r"""The packaged per-card manifest (generated from the *native* module by
+    the record-mode converter) exactly matches the key/shape layout of the
+    reference's own vendored `UNetModel` at the card config — a real oracle
+    for the manifest contract, not a twin."""
+
+    from azula_tpu.models.utils import check_manifest, load_cards
+
+    import azula_tpu.models.adm  # noqa: F401
+
+    cfg = dict(load_cards("azula_tpu.models.adm")[card_name].config)
+
+    # Reproduce the reference make_model card->UNetModel mapping
+    # (`/root/reference/azula/plugins/adm/__init__.py:164-195`)
+    image_size = cfg.pop("image_size", 64)
+    image_channels = cfg.pop("image_channels", 3)
+    learn_var = cfg.pop("learn_var", True)
+    attention_resolutions = cfg.pop("attention_resolutions", (32, 16, 8))
+    for k in ("clip_mean", "discrete_schedule", "discrete_steps"):
+        cfg.pop(k, None)
+
+    model = reference(
+        image_size=image_size,
+        in_channels=image_channels,
+        out_channels=2 * image_channels if learn_var else image_channels,
+        model_channels=cfg.pop("num_channels", 128),
+        channel_mult=cfg.pop("channel_mult", (1, 2, 3, 4)),
+        num_classes=cfg.pop("num_classes", None),
+        attention_resolutions={image_size // r for r in attention_resolutions},
+        **cfg,
+    )
+
+    check_manifest(model.state_dict(), "adm", card_name, "model")
