@@ -77,7 +77,8 @@ def _pallas_attention(
     scale: float,
     bias: Array | None = None,
     bias_mode: str = "one",
-) -> tuple[Array, Array]:
+    with_lse: bool = True,
+) -> tuple[Array, Array | None]:
     r"""Flash attention forward as a Pallas TPU kernel.
 
     Shapes: q, k, v are (B, H, L, D). Grid is (B * H, L / BLOCK_Q); each program
@@ -85,6 +86,10 @@ def _pallas_attention(
 
     Returns the output and the per-query log-sum-exp (B, H, L) in float32 —
     the residual the backward kernels need to rebuild the softmax blockwise.
+    With ``with_lse=False`` (inference) the LSE is neither computed nor
+    written: the lane-replicated (L, 128) float32 residual costs real HBM
+    bandwidth — as much as Q, K, V and O combined at D = 64 — so the primal
+    path must not pay for it.
     """
 
     from jax.experimental import pallas as pl
@@ -98,11 +103,12 @@ def _pallas_attention(
     vf = v.reshape(B * H, L, D)
 
     def kernel(*refs):
-        if bias is None:
-            q_ref, k_ref, v_ref, o_ref, lse_ref = refs
-            b_ref = None
-        else:
-            q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref = refs
+        refs = list(refs)
+        q_ref, k_ref, v_ref = refs[:3]
+        refs = refs[3:]
+        b_ref = refs.pop(0) if bias is not None else None
+        o_ref = refs.pop(0)
+        lse_ref = refs.pop(0) if with_lse else None
 
         qb = q_ref[0]  # (BLOCK_Q, D)
         kb = k_ref[0]  # (L, D)
@@ -122,13 +128,24 @@ def _pallas_attention(
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         d = jnp.sum(p, axis=-1, keepdims=True)
-        w = (p / d).astype(vb.dtype)
 
-        o_ref[0] = jnp.dot(w, vb, preferred_element_type=jnp.float32).astype(
-            o_ref.dtype
-        )
-        # LSE is written lane-replicated (BLOCK_Q, 128) to satisfy TPU tiling
-        lse_ref[0] = jnp.broadcast_to(m + jnp.log(d), lse_ref.shape[1:])
+        # bf16: normalize after the PV matmul — dividing the (BLOCK_Q, D)
+        # product is L/D x fewer VPU divisions than normalizing the
+        # (BLOCK_Q, L) weights, and under the bf16 truncation either order
+        # carries the same relative error. f32: normalize first, which
+        # reproduces the XLA attention bit pattern under the default (bf16
+        # passes) TPU matmul precision (measured: deferring shifts f32
+        # outputs by ~1e-3 relative to XLA while being equally accurate).
+        if q.dtype == jnp.float32:
+            o = jnp.dot((p / d).astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+            o_ref[0] = o.astype(o_ref.dtype)
+        else:
+            o = jnp.dot(p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+            o_ref[0] = (o / d).astype(o_ref.dtype)
+
+        if lse_ref is not None:
+            # LSE is written lane-replicated (BLOCK_Q, 128) to satisfy TPU tiling
+            lse_ref[0] = jnp.broadcast_to(m + jnp.log(d), lse_ref.shape[1:])
 
     gfn = _bias_group_fn(bias_mode, H)
     in_specs = [
@@ -149,22 +166,26 @@ def _pallas_attention(
         )
         operands.append(bias)
 
-    out, lse = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B * H, L, D), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, BLOCK_Q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B * H, L, 128), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(B * H, pl.cdiv(L, BLOCK_Q)),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(
-                (1, BLOCK_Q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BLOCK_Q, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, L, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * L * L * D,
             bytes_accessed=3 * B * H * L * D * q.dtype.itemsize
@@ -173,7 +194,98 @@ def _pallas_attention(
         ),
     )(*operands)
 
-    return out.reshape(B, H, L, D), lse
+    out = outs[0].reshape(B, H, L, D)
+    return out, (outs[1] if with_lse else None)
+
+
+def _dropout_threshold(rate: float) -> int:
+    r"""*Signed* int32 threshold such that P(bits >= threshold) = 1 - rate for
+    uniform random bits reinterpreted as int32.
+
+    The comparison happens in signed space on purpose: the PRNG's raw bits
+    compared against a uint32 threshold would silently promote (and a rate-0.5
+    threshold of 2^31 wraps to INT32_MIN, keeping everything). Mapping the
+    uint threshold u to u - 2^31 preserves P(keep) exactly under the
+    signed reinterpretation.
+    """
+
+    return min(int(rate * 2**32), 2**32 - 1) - 2**31
+
+
+def _fmix32(h):
+    r"""murmur3 finalizer on int32 lanes (wrapping int32 arithmetic computes
+    the same bits as uint32)."""
+
+    import numpy as np
+
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(np.int32(np.uint32(0x85EBCA6B)))
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h * jnp.int32(np.int32(np.uint32(0xC2B2AE35)))
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    return h
+
+
+def _hash_bits(rows, cols, b, s0, s1):
+    r"""int32 hash of (query, key, batch*head) coordinates and two seed words
+    (one murmur fmix32 round per seed word)."""
+
+    import numpy as np
+
+    h = (
+        (rows * jnp.int32(np.int32(np.uint32(0x9E3779B1))))
+        ^ (cols * jnp.int32(1000003))
+        ^ (b * jnp.int32(np.int32(np.uint32(0x27D4EB2F))))
+        ^ s0
+    )
+    return _fmix32(_fmix32(h) ^ s1)
+
+
+def _keep_mask(shape, row0, col0, b, s_ref, threshold):
+    r"""Counter-based dropout keep-mask over *absolute* (query, key) token
+    coordinates.
+
+    A deliberate replacement for the hardware PRNG
+    (`pltpu.prng_seed`/`prng_random_bits`): the HW stream's mapping from seed
+    to bit *positions* is a compiler layout decision, so two differently
+    structured kernels (forward vs the two backward kernels) cannot be
+    guaranteed to agree on which position gets which bit even with identical
+    seeds. Hashing the absolute coordinates with murmur3 finalizer rounds is
+    deterministic by construction — independent of kernel structure, blocking,
+    or grid — which is exactly the property mask regeneration in the backward
+    needs (and it lets :func:`dropout_keep_mask` reproduce the mask outside
+    the kernels). A few integer VPU ops per element, negligible next to the
+    attention matmuls.
+    """
+
+    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = col0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+    return _hash_bits(rows, cols, b, s_ref[0], s_ref[1]) >= jnp.int32(threshold)
+
+
+def dropout_keep_mask(B: int, H: int, L: int, seed: Array, rate: float) -> Array:
+    r"""The exact (B, H, L, L) keep-mask the flash dropout kernels apply for a
+    given seed pair — the same pure-integer hash evaluated outside Pallas.
+
+    Lets host-side code (tests, or an XLA twin of the kernels) reproduce the
+    in-kernel dropout bit-for-bit.
+
+    Arguments:
+        B, H, L: Batch, heads, and sequence length.
+        seed: Two int32 seed words, as passed to the kernels.
+        rate: The dropout rate.
+
+    Returns:
+        A boolean array of shape :math:`(B, H, L, L)`; True keeps the weight.
+    """
+
+    rows = jnp.arange(L, dtype=jnp.int32)[None, :, None]
+    cols = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    b = jnp.arange(B * H, dtype=jnp.int32)[:, None, None]
+
+    bits = _hash_bits(rows, cols, b, seed[0], seed[1])
+    return (bits >= jnp.int32(_dropout_threshold(rate))).reshape(B, H, L, L)
 
 
 def _pallas_attention_blocked(
@@ -183,21 +295,38 @@ def _pallas_attention_blocked(
     scale: float,
     bias: Array | None = None,
     bias_mode: str = "one",
-) -> tuple[Array, Array]:
+    dropout_rate: float = 0.0,
+    seed: Array | None = None,
+    block: int | None = None,
+    with_lse: bool = True,
+) -> tuple[Array, Array | None]:
     r"""Flash attention with K/V blocking and online softmax, for sequences too
     long to keep K/V resident in VMEM.
 
     Grid is (B*H, L/BLOCK_Q, L/BLOCK_K) with the K dimension innermost and
     sequential; the running max / denominator / output accumulator live in
     VMEM scratch across K blocks and are finalized on the last block.
+
+    With ``dropout_rate > 0`` the post-softmax weights are dropped in-kernel:
+    the keep-mask is a counter-based hash of ``seed`` and the *absolute*
+    (query, key) token coordinates (:func:`_keep_mask`), so the backward
+    kernels regenerate the identical mask independent of their own blocking.
+    The softmax denominator uses the *undropped* weights — dropout applies
+    after normalization, matching
+    `torch.nn.functional.scaled_dot_product_attention`
+    (reference `azula/nn/attention.py:98-104`).
     """
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, L, D = q.shape
-    BLOCK_Q = min(512, L)
-    BLOCK_K = min(1024, L)
+    BLOCK_Q = min(512, L) if block is None else block
+    BLOCK_K = min(1024, L) if block is None else block
+
+    if dropout_rate > 0:
+        assert seed is not None and block is not None and L % block == 0
+        threshold = _dropout_threshold(dropout_rate)
 
     nq = pl.cdiv(L, BLOCK_Q)
     nk = pl.cdiv(L, BLOCK_K)
@@ -207,11 +336,16 @@ def _pallas_attention_blocked(
     vf = v.reshape(B * H, L, D)
 
     def kernel(*refs):
-        if bias is None:
-            q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-            b_ref = None
+        refs = list(refs)
+        q_ref, k_ref, v_ref = refs[:3]
+        refs = refs[3:]
+        b_ref = refs.pop(0) if bias is not None else None
+        s_ref = refs.pop(0) if dropout_rate > 0 else None
+        if with_lse:
+            o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
         else:
-            q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+            o_ref, m_scr, l_scr, acc_scr = refs
+            lse_ref = None
 
         kb = pl.program_id(2)
 
@@ -256,8 +390,24 @@ def _pallas_attention_blocked(
         corr = jnp.exp(m_prev - m_new)
 
         l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+
+        if s_ref is None:
+            p_acc = p
+        else:
+            # In-kernel dropout of the (normalized) weights: the denominator
+            # keeps the undropped p; only the V-accumulation is masked.
+            keep = _keep_mask(
+                p.shape,
+                pl.program_id(1) * BLOCK_Q,
+                kb * BLOCK_K,
+                pl.program_id(0),
+                s_ref,
+                threshold,
+            )
+            p_acc = jnp.where(keep, p, 0.0) / (1 - dropout_rate)
+
         acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p.astype(vb.dtype),
+            p_acc.astype(vb.dtype),
             vb,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -267,9 +417,10 @@ def _pallas_attention_blocked(
         @pl.when(kb == nk - 1)
         def _():
             o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-            lse_ref[0] = jnp.broadcast_to(
-                m_scr[:] + jnp.log(l_scr[:]), lse_ref.shape[1:]
-            )
+            if lse_ref is not None:
+                lse_ref[0] = jnp.broadcast_to(
+                    m_scr[:] + jnp.log(l_scr[:]), lse_ref.shape[1:]
+                )
 
     gfn = _bias_group_fn(bias_mode, H)
     in_specs = [
@@ -293,23 +444,32 @@ def _pallas_attention_blocked(
             )
         )
         operands.append(bias)
+    if dropout_rate > 0:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+        )
+        operands.append(seed)
 
-    out, lse = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B * H, L, D), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, BLOCK_Q, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((B * H, L, 128), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(B * H, nq, nk),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec(
-                (1, BLOCK_Q, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, BLOCK_Q, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B * H, L, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, L, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
             pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
@@ -325,17 +485,145 @@ def _pallas_attention_blocked(
         ),
     )(*operands)
 
-    return out.reshape(B, H, L, D), lse
+    return outs[0].reshape(B, H, L, D), (outs[1] if with_lse else None)
+
+
+def _pallas_attention_batched(
+    q: Array,
+    k: Array,
+    v: Array,
+    scale: float,
+    bias: Array | None = None,
+    bias_mode: str = "one",
+    with_lse: bool = True,
+) -> tuple[Array, Array | None]:
+    r"""Flash attention for *short* sequences: several (batch, head) pairs per
+    program.
+
+    At image-diffusion lengths (L ≤ 512) a per-(batch, head) grid runs
+    B·H tiny programs whose fixed dispatch cost dominates (measured: the
+    per-pair kernel lost to XLA by 1.7x at L = 256 on the DiT-S bench, while
+    the XLA path pays ~200 MB of materialized fp32 logits per layer). This
+    kernel keeps the whole softmax in VMEM like the others but amortizes the
+    grid: each program holds G pairs and unrolls the per-pair matmuls.
+    """
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    N = B * H
+
+    G = 1
+    for g in (8, 4, 2):
+        if N % g == 0:
+            G = g
+            break
+
+    qf = q.reshape(N, L, D)
+    kf = k.reshape(N, L, D)
+    vf = v.reshape(N, L, D)
+
+    def kernel(*refs):
+        refs = list(refs)
+        q_ref, k_ref, v_ref = refs[:3]
+        refs = refs[3:]
+        b_ref = refs.pop(0) if bias is not None else None
+        o_ref = refs.pop(0)
+        lse_ref = refs.pop(0) if with_lse else None
+
+        for g in range(G):
+            logits = jax.lax.dot_general(
+                q_ref[g],
+                k_ref[g],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale
+
+            if b_ref is not None:
+                logits = logits + b_ref[g if bias_mode == "full" else 0].astype(
+                    jnp.float32
+                )
+
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            d = jnp.sum(p, axis=-1, keepdims=True)
+
+            # Normalize the (L, D) product, not the (L, L) weights (bf16);
+            # f32 normalizes first for XLA bit parity — see _pallas_attention.
+            if q.dtype == jnp.float32:
+                o = jnp.dot(
+                    (p / d).astype(v_ref.dtype), v_ref[g],
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[g] = o.astype(o_ref.dtype)
+            else:
+                o = jnp.dot(
+                    p.astype(v_ref.dtype), v_ref[g], preferred_element_type=jnp.float32
+                )
+                o_ref[g] = (o / d).astype(o_ref.dtype)
+
+            if lse_ref is not None:
+                lse_ref[g] = jnp.broadcast_to(m + jnp.log(d), lse_ref.shape[1:])
+
+    in_specs = [
+        pl.BlockSpec((G, L, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, L, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, L, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf]
+    if bias is not None:
+        # Only the per-pair ("full") and broadcast ("one") layouts tile
+        # contiguously with G pairs per program; _pallas_dispatch falls back
+        # to the per-pair kernel for per-batch/per-head masks.
+        assert bias_mode in ("one", "full")
+        if bias_mode == "full":
+            in_specs.append(
+                pl.BlockSpec((G, L, L), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec((1, L, L), lambda n: (0, 0, 0), memory_space=pltpu.VMEM)
+            )
+        operands.append(bias)
+
+    out_specs = [
+        pl.BlockSpec((G, L, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((N, L, D), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((G, L, 128), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((N, L, 128), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * L * L * D,
+            bytes_accessed=4 * N * L * D * q.dtype.itemsize,
+            transcendentals=N * L * L,
+        ),
+    )(*operands)
+
+    return outs[0].reshape(B, H, L, D), (outs[1] if with_lse else None)
 
 
 # Above this sequence length, K/V no longer stay resident in VMEM and the
 # blocked online-softmax kernel takes over.
 _FULL_KV_MAX_L = 2048
 
+# At or below this length the multi-pair batched kernel is used instead of a
+# per-(batch, head) grid.
+_BATCHED_MAX_L = 512
 
-def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float, floor: int = 512) -> bool:
-    if dropout_rate > 0:
-        return False
+
+def _use_pallas(q: Array, k: Array, v: Array, mask, floor: int = 512) -> bool:
     if jax.default_backend() != "tpu":
         return False
     if q.ndim != 4:
@@ -350,9 +638,10 @@ def _use_pallas(q: Array, k: Array, v: Array, mask, dropout_rate: float, floor: 
     B, H, L, D = q.shape
 
     # Lane/sublane alignment; small or ragged shapes fall back to XLA.
-    # The default L >= 512 floor is measured, not aesthetic: below it XLA's
-    # fused attention wins in context (dit32 bench 1.74x faster at L=256 via
-    # XLA; adm256 neutral) and the L x L materialization is tiny anyway.
+    # The default L >= 256 floor is measured, not aesthetic: below it XLA's
+    # fused attention wins (L = 128 micro: XLA 1.13x faster); at L >= 256 the
+    # multi-pair batched kernel wins (1.2-1.9x, tools/attn_micro.py), where
+    # the old per-pair grid had lost to XLA by 1.7x at L = 256.
     if not (L >= max(floor, 128) and L % 128 == 0 and D % 64 == 0 and D <= 256):
         return False
 
@@ -395,11 +684,14 @@ def _mask_to_bias(mask: Array, q: Array) -> tuple[Array, str]:
     return bias.reshape(Bm * Hm, L, L), mode
 
 
-def _pallas_dispatch(q, k, v, scale, bias=None, bias_mode="one"):
-    if q.shape[-2] > _FULL_KV_MAX_L:
-        return _pallas_attention_blocked(q, k, v, scale, bias, bias_mode)
+def _pallas_dispatch(q, k, v, scale, bias=None, bias_mode="one", with_lse=True):
+    L = q.shape[-2]
+    if L <= _BATCHED_MAX_L and (bias is None or bias_mode in ("one", "full")):
+        return _pallas_attention_batched(q, k, v, scale, bias, bias_mode, with_lse)
+    elif L > _FULL_KV_MAX_L:
+        return _pallas_attention_blocked(q, k, v, scale, bias, bias_mode, with_lse=with_lse)
     else:
-        return _pallas_attention(q, k, v, scale, bias, bias_mode)
+        return _pallas_attention(q, k, v, scale, bias, bias_mode, with_lse)
 
 
 def _bwd_block(L: int) -> int:
@@ -419,6 +711,8 @@ def _pallas_attention_bwd(
     scale: float,
     bias: Array | None = None,
     bias_mode: str = "one",
+    dropout_rate: float = 0.0,
+    seed: Array | None = None,
 ) -> tuple[Array, Array, Array]:
     r"""Flash attention backward as two Pallas TPU kernels.
 
@@ -427,6 +721,13 @@ def _pallas_attention_bwd(
     L x L weight matrix is never materialized in HBM. The dQ kernel accumulates
     over sequential key blocks; the dK/dV kernel over sequential query blocks.
     Replaces the reference's cuDNN SDPA backward (`azula/nn/attention.py:98-104`).
+
+    With dropout, the forward's mask is regenerated per tile from the same
+    coordinate hash the forward used (:func:`_keep_mask`, a pure function of
+    seed and absolute token coordinates). Writing P̃ = M ⊙ P / (1-r)
+    for the dropped weights, the identity delta = rowsum(dO ⊙ O) =
+    rowsum(P ⊙ dL/dP) still holds, so
+    dS = P ⊙ (M ⊙ (dO Vᵀ) / (1-r) - delta) · scale and dV = P̃ᵀ dO.
     """
 
     from jax.experimental import pallas as pl
@@ -438,6 +739,10 @@ def _pallas_attention_bwd(
     nq = L // BQ
     nk = L // BK
 
+    if dropout_rate > 0:
+        assert seed is not None and BQ == BK
+        threshold = _dropout_threshold(dropout_rate)
+
     qf = q.reshape(B * H, L, D)
     kf = k.reshape(B * H, L, D)
     vf = v.reshape(B * H, L, D)
@@ -445,8 +750,9 @@ def _pallas_attention_bwd(
     gf = g.reshape(B * H, L, D).astype(q.dtype)
     lsef = lse  # (B*H, L, 128), lane-replicated (see forward kernels)
 
-    def _p_ds(q_blk, g_blk, o_blk, k_blk, v_blk, lse_blk, b_blk):
-        r"""Rebuilds P and dS for one (query, key) block pair, in float32."""
+    def _p_ds(q_blk, g_blk, o_blk, k_blk, v_blk, lse_blk, b_blk, s_ref=None, qb=None, kb=None):
+        r"""Rebuilds P, P̃ (dropped) and dS for one (query, key) block pair,
+        in float32."""
 
         s = jax.lax.dot_general(
             q_blk, k_blk,
@@ -469,16 +775,31 @@ def _pallas_attention_bwd(
             g_blk.astype(jnp.float32) * o_blk.astype(jnp.float32),
             axis=-1, keepdims=True,
         )
+
+        if dropout_rate > 0:
+            # Regenerate the forward's keep-mask for this tile: the hash is a
+            # pure function of absolute coordinates, so it is identical to the
+            # forward's regardless of kernel structure or blocking.
+            keep = _keep_mask(
+                p.shape, qb * BQ, kb * BK, pl.program_id(0), s_ref, threshold
+            )
+            p_tilde = jnp.where(keep, p, 0.0) / (1 - dropout_rate)
+            dp = jnp.where(keep, dp, 0.0) / (1 - dropout_rate)
+        else:
+            p_tilde = p
+
         ds = p * (dp - delta) * scale
-        return p, ds
+        return p_tilde, ds
 
     def dq_kernel(*refs):
-        if bias is None:
-            q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dq_ref, acc = refs
-            b_ref = None
-        else:
-            q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, b_ref, dq_ref, acc = refs
+        refs = list(refs)
+        q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref = refs[:6]
+        refs = refs[6:]
+        b_ref = refs.pop(0) if bias is not None else None
+        s_ref = refs.pop(0) if dropout_rate > 0 else None
+        dq_ref, acc = refs
 
+        i = pl.program_id(1)
         j = pl.program_id(2)
 
         @pl.when(j == 0)
@@ -488,6 +809,7 @@ def _pallas_attention_bwd(
         _, ds = _p_ds(
             q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0],
             None if b_ref is None else b_ref[0],
+            s_ref, i, j,
         )
 
         acc[:] += jax.lax.dot_general(
@@ -521,6 +843,9 @@ def _pallas_attention_bwd(
             )
         )
         dq_operands.append(bias)
+    if dropout_rate > 0:
+        dq_in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        dq_operands.append(seed)
 
     dq = pl.pallas_call(
         dq_kernel,
@@ -542,13 +867,14 @@ def _pallas_attention_bwd(
     )(*dq_operands)
 
     def dkv_kernel(*refs):
-        if bias is None:
-            q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref, kacc, vacc = refs
-            b_ref = None
-        else:
-            (q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, b_ref,
-             dk_ref, dv_ref, kacc, vacc) = refs
+        refs = list(refs)
+        q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref = refs[:6]
+        refs = refs[6:]
+        b_ref = refs.pop(0) if bias is not None else None
+        s_ref = refs.pop(0) if dropout_rate > 0 else None
+        dk_ref, dv_ref, kacc, vacc = refs
 
+        j = pl.program_id(1)
         i = pl.program_id(2)
 
         @pl.when(i == 0)
@@ -559,6 +885,7 @@ def _pallas_attention_bwd(
         p, ds = _p_ds(
             q_ref[0], g_ref[0], o_ref[0], k_ref[0], v_ref[0], lse_ref[0],
             None if b_ref is None else b_ref[0],
+            s_ref, i, j,
         )
 
         vacc[:] += jax.lax.dot_general(
@@ -597,6 +924,9 @@ def _pallas_attention_bwd(
             )
         )
         dkv_operands.append(bias)
+    if dropout_rate > 0:
+        dkv_in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        dkv_operands.append(seed)
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -630,7 +960,8 @@ def _pallas_attention_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
-    return _pallas_dispatch(q, k, v, scale)[0]
+    # Primal (inference) path: no LSE residual computed or written
+    return _pallas_dispatch(q, k, v, scale, with_lse=False)[0]
 
 
 def _flash_fwd(q, k, v, scale):
@@ -650,7 +981,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def _flash_biased(
     q: Array, k: Array, v: Array, bias: Array, scale: float, bias_mode: str
 ) -> Array:
-    return _pallas_dispatch(q, k, v, scale, bias, bias_mode)[0]
+    return _pallas_dispatch(q, k, v, scale, bias, bias_mode, with_lse=False)[0]
 
 
 def _flash_biased_fwd(q, k, v, bias, scale, bias_mode):
@@ -669,6 +1000,71 @@ def _flash_biased_bwd(scale, bias_mode, residuals, g):
 _flash_biased.defvjp(_flash_biased_fwd, _flash_biased_bwd)
 
 
+def _seed_cotangent(seed: Array):
+    r"""Zero cotangent for the integer seed operand (float0, as custom_vjp
+    requires for integer primals)."""
+
+    import numpy as np
+
+    return np.zeros(seed.shape, dtype=jax.dtypes.float0)
+
+
+def _flash_dropout_impl(q, k, v, seed, rate, scale, bias=None, bias_mode="one", with_lse=True):
+    # The hash-based mask is blocking-independent; using the backward's block
+    # size in the forward too just keeps the two passes' tilings aligned.
+    return _pallas_attention_blocked(
+        q, k, v, scale, bias, bias_mode,
+        dropout_rate=rate, seed=seed, block=_bwd_block(q.shape[-2]),
+        with_lse=with_lse,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_dropout(q: Array, k: Array, v: Array, seed: Array, rate: float, scale: float) -> Array:
+    return _flash_dropout_impl(q, k, v, seed, rate, scale, with_lse=False)[0]
+
+
+def _flash_dropout_fwd(q, k, v, seed, rate, scale):
+    o, lse = _flash_dropout_impl(q, k, v, seed, rate, scale)
+    return o, (q, k, v, seed, o, lse)
+
+
+def _flash_dropout_bwd(rate, scale, residuals, g):
+    q, k, v, seed, o, lse = residuals
+    dq, dk, dv = _pallas_attention_bwd(
+        q, k, v, o, lse, g, scale, dropout_rate=rate, seed=seed
+    )
+    return dq, dk, dv, _seed_cotangent(seed)
+
+
+_flash_dropout.defvjp(_flash_dropout_fwd, _flash_dropout_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_dropout_biased(
+    q: Array, k: Array, v: Array, bias: Array, seed: Array,
+    rate: float, scale: float, bias_mode: str,
+) -> Array:
+    return _flash_dropout_impl(q, k, v, seed, rate, scale, bias, bias_mode, with_lse=False)[0]
+
+
+def _flash_dropout_biased_fwd(q, k, v, bias, seed, rate, scale, bias_mode):
+    o, lse = _flash_dropout_impl(q, k, v, seed, rate, scale, bias, bias_mode)
+    return o, (q, k, v, bias, seed, o, lse)
+
+
+def _flash_dropout_biased_bwd(rate, scale, bias_mode, residuals, g):
+    q, k, v, bias, seed, o, lse = residuals
+    dq, dk, dv = _pallas_attention_bwd(
+        q, k, v, o, lse, g, scale, bias, bias_mode,
+        dropout_rate=rate, seed=seed,
+    )
+    return dq, dk, dv, jnp.zeros_like(bias), _seed_cotangent(seed)
+
+
+_flash_dropout_biased.defvjp(_flash_dropout_biased_fwd, _flash_dropout_biased_bwd)
+
+
 def dot_product_attention(
     q: Array,
     k: Array,
@@ -683,9 +1079,12 @@ def dot_product_attention(
 
     .. math:: \mathrm{softmax}\left(\frac{q k^\top}{\sqrt{D}}\right) v
 
-    Dispatches to the Pallas flash-attention kernel on TPU for long
-    (:math:`L \ge 512`), dropout-free self-attention with aligned shapes —
-    the measured crossover — and to a fused XLA implementation otherwise.
+    Dispatches to the Pallas flash-attention kernels on TPU for self-attention
+    with aligned shapes — above the measured :math:`L \ge 512` crossover when
+    dropout-free, and for any eligible :math:`L` when training with attention
+    dropout (the dropout mask is generated *in-kernel* with the TPU core PRNG,
+    so the :math:`L \times L` weights are never materialized) — and to a fused
+    XLA implementation otherwise.
 
     Arguments:
         q: Queries, with shape :math:`(*, H, L, D)`.
@@ -709,10 +1108,40 @@ def dot_product_attention(
     if scale is None:
         scale = 1 / math.sqrt(q.shape[-1])
 
-    if dropout_rate > 0:
-        if key is None:
-            raise ValueError("attention dropout requires a PRNG `key`")
+    if dropout_rate > 0 and key is None:
+        raise ValueError("attention dropout requires a PRNG `key`")
 
+    # With dropout, any eligible shape routes to the kernels (floor 128): the
+    # XLA path materializes the L x L weights *and* an L x L bernoulli mask,
+    # so the flash memory profile matters most exactly there (training).
+    floor = 1 if implementation == "pallas" else (128 if dropout_rate > 0 else 256)
+    eligible = _use_pallas(q, k, v, mask, floor=floor)
+
+    if implementation == "pallas" and not eligible:
+        raise ValueError(
+            "implementation='pallas' requires a TPU backend and a "
+            "self-attention with L % 128 == 0, D % 64 == 0, D <= 256 and a "
+            "boolean (or no) mask"
+        )
+
+    if eligible and implementation in (None, "auto", "pallas"):
+        if dropout_rate > 0:
+            # Two independent 32-bit seeds drawn from the key; the kernels
+            # mix in (batch*head, q-block, k-block) per tile.
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(key, (2,), jnp.uint32), jnp.int32
+            )
+            if mask is None:
+                return _flash_dropout(q, k, v, seed, dropout_rate, scale)
+            bias, mode = _mask_to_bias(mask, q)
+            return _flash_dropout_biased(q, k, v, bias, seed, dropout_rate, scale, mode)
+        if mask is None:
+            return _flash(q, k, v, scale)
+        bias, mode = _mask_to_bias(mask, q)
+        return _flash_biased(q, k, v, bias, scale, mode)
+
+    if dropout_rate > 0:
+        # Non-TPU / ineligible-shape fallback: materialized weights + mask
         logits = (
             jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
             * scale
@@ -726,20 +1155,5 @@ def dot_product_attention(
         keep = jax.random.bernoulli(key, 1 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1 - dropout_rate), 0.0)
         return jnp.einsum("...qk,...kd->...qd", weights.astype(q.dtype), v)
-
-    eligible = _use_pallas(q, k, v, mask, dropout_rate, floor=1 if implementation == "pallas" else 512)
-
-    if implementation == "pallas" and not eligible:
-        raise ValueError(
-            "implementation='pallas' requires a TPU backend and a dropout-free "
-            "self-attention with L % 128 == 0, D % 64 == 0, D <= 256 and a "
-            "boolean (or no) mask"
-        )
-
-    if eligible and implementation in (None, "auto", "pallas"):
-        if mask is None:
-            return _flash(q, k, v, scale)
-        bias, mode = _mask_to_bias(mask, q)
-        return _flash_biased(q, k, v, bias, scale, mode)
 
     return _xla_attention(q, k, v, mask=mask, scale=scale)

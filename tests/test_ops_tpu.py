@@ -30,7 +30,7 @@ def test_flash_attention_matches_xla(L, D, dtype, key):
     k = jax.random.normal(k2, (B, H, L, D), dtype=dtype)
     v = jax.random.normal(k3, (B, H, L, D), dtype=dtype)
 
-    assert _use_pallas(q, k, v, None, 0.0)
+    assert _use_pallas(q, k, v, None)
 
     out = dot_product_attention(q, k, v)
     ref = _xla_attention(q, k, v)
@@ -85,7 +85,7 @@ def test_flash_attention_masked(L, mask_kind, key):
         mask = jax.random.bernoulli(jax.random.fold_in(key, 7), 0.9, (B, H, L, L))
         mask = mask | jnp.eye(L, dtype=bool)  # no fully-masked rows
 
-    assert _use_pallas(q, k, v, mask, 0.0)
+    assert _use_pallas(q, k, v, mask)
 
     def loss(fn, q, k, v):
         return jnp.sum(fn(q, k, v, mask=mask).astype(jnp.float32) ** 2)
@@ -153,7 +153,7 @@ def test_flash_attention_blocked_ragged_k(L, key):
     k = jax.random.normal(k2, (B, H, L, D))
     v = jax.random.normal(k3, (B, H, L, D))
 
-    assert _use_pallas(q, k, v, None, 0.0)
+    assert _use_pallas(q, k, v, None)
 
     out = dot_product_attention(q, k, v)
     ref = _xla_attention(q, k, v)
@@ -174,7 +174,7 @@ def test_cross_attention_falls_back(key):
     k = jax.random.normal(k2, (B, H, S, D))
     v = jax.random.normal(k3, (B, H, S, D))
 
-    assert not _use_pallas(q, k, v, None, 0.0)
+    assert not _use_pallas(q, k, v, None)
 
     out = dot_product_attention(q, k, v)
     ref = _xla_attention(q, k, v)
@@ -212,14 +212,154 @@ def test_attention_implementation_override(key):
     r"""implementation='pallas' forces the flash kernel below the auto-dispatch
     floor; 'xla' forces the fused XLA path; both match."""
 
-    q = jax.random.normal(key, (1, 2, 256, 64))
+    q = jax.random.normal(key, (1, 2, 128, 64))
 
-    auto = dot_product_attention(q, q, q)  # < 512 tokens -> XLA by default
+    auto = dot_product_attention(q, q, q)  # < 256 tokens -> XLA by default
     forced = dot_product_attention(q, q, q, implementation="pallas")
     xla = dot_product_attention(q, q, q, implementation="xla")
 
     assert jnp.allclose(auto, xla, atol=1e-6)
     assert jnp.max(jnp.abs(forced - xla)) < 2e-4
 
+    # ... and at L >= 256 the auto dispatch routes to the batched kernel
+    q = jax.random.normal(key, (1, 2, 256, 64))
+    auto = dot_product_attention(q, q, q)
+    xla = dot_product_attention(q, q, q, implementation="xla")
+    assert jnp.max(jnp.abs(auto - xla)) < 2e-4
+
     with pytest.raises(ValueError):
         dot_product_attention(q[..., :60], q[..., :60], q[..., :60], implementation="pallas")
+
+
+@requires_tpu
+@pytest.mark.parametrize("L,rate", [(256, 0.3), (512, 0.5)])
+def test_flash_attention_dropout(L, rate, key):
+    r"""In-kernel dropout: deterministic per key, mean-preserving, and
+    exactly the dropout-free kernel at rate -> 0."""
+
+    k1, k2, k3, kd = jax.random.split(key, 4)
+
+    B, H, D = 2, 4, 64
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    drop = lambda kk, r=rate: dot_product_attention(
+        q, k, v, dropout_rate=r, key=kk, implementation="pallas"
+    )
+
+    # Deterministic in the key; different keys give different masks
+    assert jnp.array_equal(drop(kd), drop(kd))
+    assert not jnp.allclose(drop(kd), drop(jax.random.fold_in(kd, 1)))
+
+    # A vanishing rate keeps every weight: bitwise the no-dropout *blocked*
+    # kernel (the dropout path pins the fwd/bwd-matched tiling, so the
+    # comparison must use the same kernel and block size)
+    import math
+
+    from azula_tpu.ops.attention import _bwd_block, _pallas_attention_blocked
+
+    none = jax.jit(
+        lambda q, k, v: _pallas_attention_blocked(
+            q, k, v, 1 / math.sqrt(D), block=_bwd_block(L), with_lse=False
+        )[0]
+    )(q, k, v)
+    assert jnp.array_equal(drop(kd, 1e-12), none)
+
+    # ... and stays close to the auto-dispatch attention (different kernel,
+    # same math; f32 matmuls at the default TPU precision carry ~1e-3 of
+    # truncation noise that differs with accumulation order)
+    auto = dot_product_attention(q, k, v)
+    assert jnp.max(jnp.abs(drop(kd, 1e-12) - auto)) < 2e-3
+
+    # E[dropout(attn)] = attn (inverted scaling): loose statistical check
+    outs = jnp.stack([drop(jax.random.fold_in(kd, i)) for i in range(32)])
+    err = jnp.abs(outs.mean(0) - none)
+    assert jnp.median(err) < 0.1, jnp.median(err)
+
+
+@requires_tpu
+def test_flash_attention_dropout_grads(key):
+    r"""Dropout forward and backward agree with an exact XLA twin that applies
+    the *identical* hash-generated keep-mask (`dropout_keep_mask` reproduces
+    the in-kernel bits): values and all three gradients match to f32
+    matmul-truncation tolerance.
+
+    (Finite differences are useless here: default-precision f32 TPU matmuls
+    carry ~1e-3 of discontinuous truncation noise, far above the epsilon-sized
+    differences a directional check needs.)
+    """
+
+    import math
+
+    from azula_tpu.ops.attention import _flash_dropout, dropout_keep_mask
+
+    k1, k2, k3, kd, ku = jax.random.split(key, 5)
+
+    B, H, L, D = 1, 2, 256, 64
+    rate = 0.3
+    scale = 1 / math.sqrt(D)
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+    w = jax.random.normal(ku, (B, H, L, D))
+
+    seed = jax.lax.bitcast_convert_type(
+        jax.random.bits(kd, (2,), jnp.uint32), jnp.int32
+    )
+    keep = dropout_keep_mask(B, H, L, seed, rate)
+
+    # the mask is non-trivial and roughly rate-calibrated
+    frac = jnp.mean(keep)
+    assert 0.6 < frac < 0.8, frac
+
+    def f_kernel(q, k, v):
+        return jnp.sum(_flash_dropout(q, k, v, seed, rate, scale) * w)
+
+    def f_twin(q, k, v):
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = jnp.where(keep, weights, 0.0) / (1 - rate)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", weights.astype(q.dtype), v) * w)
+
+    val_k = f_kernel(q, k, v)
+    val_t = f_twin(q, k, v)
+    assert abs(val_k - val_t) < 2e-2 * max(1.0, abs(val_t)), (val_k, val_t)
+
+    g_k = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_t = jax.grad(f_twin, argnums=(0, 1, 2))(q, k, v)
+
+    for i, (a, b) in enumerate(zip(g_k, g_t)):
+        scale_ref = jnp.linalg.norm(b.reshape(-1)) / math.sqrt(b.size)
+        assert jnp.max(jnp.abs(a - b)) < 5e-2 * scale_ref, (i, jnp.max(jnp.abs(a - b)))
+
+
+@requires_tpu
+def test_flash_attention_dropout_masked(key):
+    r"""Dropout composes with a folded boolean mask: masked columns stay
+    excluded for every key."""
+
+    k1, k2, k3, kd = jax.random.split(key, 4)
+
+    B, H, L, D = 1, 2, 256, 64
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    # Mask out the second half of the keys; make their values poisonous
+    mask = jnp.arange(L) < L // 2
+    mask = jnp.broadcast_to(mask, (L, L))
+    v = jnp.where(jnp.arange(L)[:, None] < L // 2, v, 1e3)
+
+    out = dot_product_attention(
+        q, k, v, mask=mask, dropout_rate=0.3, key=kd, implementation="pallas"
+    )
+
+    assert jnp.all(jnp.isfinite(out))
+    assert jnp.max(jnp.abs(out)) < 1e2
