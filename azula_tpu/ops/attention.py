@@ -638,10 +638,12 @@ def _use_pallas(q: Array, k: Array, v: Array, mask, floor: int = 512) -> bool:
     B, H, L, D = q.shape
 
     # Lane/sublane alignment; small or ragged shapes fall back to XLA.
-    # The default L >= 256 floor is measured, not aesthetic: below it XLA's
-    # fused attention wins (L = 128 micro: XLA 1.13x faster); at L >= 256 the
-    # multi-pair batched kernel wins (1.2-1.9x, tools/attn_micro.py), where
-    # the old per-pair grid had lost to XLA by 1.7x at L = 256.
+    # The default L >= 512 floor is measured END-TO-END, not on micros: the
+    # multi-pair batched kernel beats standalone XLA attention at L = 256
+    # (1.19x, tools/attn_micro.py), but in context XLA fuses the attention
+    # chain with the surrounding projections and the dit32 bench regresses
+    # 110.5 -> 97.5 img/s if the kernel takes over there; at L >= 512 the
+    # kernel wins both standalone (1.86x) and in context.
     if not (L >= max(floor, 128) and L % 128 == 0 and D % 64 == 0 and D <= 256):
         return False
 
@@ -1114,7 +1116,7 @@ def dot_product_attention(
     # With dropout, any eligible shape routes to the kernels (floor 128): the
     # XLA path materializes the L x L weights *and* an L x L bernoulli mask,
     # so the flash memory profile matters most exactly there (training).
-    floor = 1 if implementation == "pallas" else (128 if dropout_rate > 0 else 256)
+    floor = 1 if implementation == "pallas" else (128 if dropout_rate > 0 else 512)
     eligible = _use_pallas(q, k, v, mask, floor=floor)
 
     if implementation == "pallas" and not eligible:
