@@ -138,6 +138,10 @@ def load_model(name: str, ema: bool = True, dtype=None) -> JITDenoiser:
 
     denoiser = filter_eval_shape(make_model, **card.config)
 
+    from ..utils import check_manifest
+
+    check_manifest(state, "jit", name, "model")
+
     sd = convert_state_dict(denoiser.backbone, state)
     backbone = load_state_dict(denoiser.backbone, sd)
 

@@ -23,34 +23,72 @@ def _np(t) -> np.ndarray:
 
 
 def convert_state_dict(backbone: JiT, torch_sd) -> dict[str, np.ndarray]:
+    r"""Converts a JiT checkpoint onto the native backbone's paths.
+
+    ``torch_sd=None`` puts the conversion in *manifest* mode: instead of
+    tensors, it returns the expected source key -> shape mapping (derived from
+    the — possibly abstract — backbone by inverting the layout transforms),
+    used to generate the per-card checkpoint manifests.
+    """
+
+    record = torch_sd is None
     out = {}
 
+    if record:
+        from ...utils.pytree import state_dict
+
+        native = {
+            k: tuple(int(d) for d in v.shape) for k, v in state_dict(backbone).items()
+        }
+
     def linear(ours, theirs, bias=True):
+        if record:
+            out[f"{theirs}.weight"] = native[f"{ours}.weight"][::-1]
+            if bias:
+                out[f"{theirs}.bias"] = native[f"{ours}.bias"]
+            return
         out[f"{ours}.weight"] = np.ascontiguousarray(_np(torch_sd[f"{theirs}.weight"]).T)
         if bias:
             out[f"{ours}.bias"] = _np(torch_sd[f"{theirs}.bias"])
 
     def conv(ours, theirs, bias=True):
+        if record:
+            kh, kw, i, o = native[f"{ours}.weight"]
+            out[f"{theirs}.weight"] = (o, i, kh, kw)
+            if bias:
+                out[f"{theirs}.bias"] = native[f"{ours}.bias"]
+            return
         w = _np(torch_sd[f"{theirs}.weight"])
         out[f"{ours}.weight"] = np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
         if bias:
             out[f"{ours}.bias"] = _np(torch_sd[f"{theirs}.bias"])
 
     def rms(ours, theirs):
+        if record:
+            out[f"{theirs}.weight"] = native[f"{ours}.weight"]
+            return
         out[f"{ours}.weight"] = _np(torch_sd[f"{theirs}.weight"])
 
     linear("t_embedder_mlp.0", "t_embedder.mlp.0")
     linear("t_embedder_mlp.1", "t_embedder.mlp.2")
 
-    out["y_embedding"] = _np(torch_sd["y_embedder.embedding_table.weight"])
+    if record:
+        out["y_embedder.embedding_table.weight"] = native["y_embedding"]
+        out["pos_embed"] = (1, *native["pos_embed"])
+    else:
+        out["y_embedding"] = _np(torch_sd["y_embedder.embedding_table.weight"])
 
     conv("proj1", "x_embedder.proj1", bias=False)
     conv("proj2", "x_embedder.proj2")
 
-    out["pos_embed"] = _np(torch_sd["pos_embed"])[0]
+    if not record:
+        out["pos_embed"] = _np(torch_sd["pos_embed"])[0]
 
     if backbone.in_context_posemb is not None:
-        out["in_context_posemb"] = _np(torch_sd["in_context_posemb"])[0]
+        if record:
+            out["in_context_posemb"] = (1, *native["in_context_posemb"])
+        else:
+            out["in_context_posemb"] = _np(torch_sd["in_context_posemb"])[0]
 
     for i in range(len(backbone.blocks)):
         o, t = f"blocks.{i}", f"blocks.{i}"
@@ -67,6 +105,9 @@ def convert_state_dict(backbone: JiT, torch_sd) -> dict[str, np.ndarray]:
     rms("final_norm", "final_layer.norm_final")
     linear("final_linear", "final_layer.linear")
     linear("final_adaLN", "final_layer.adaLN_modulation.1")
+
+    if record:  # RoPE tables are non-persistent: absent from the checkpoint
+        return out
 
     # RoPE tables are non-persistent buffers in the checkpoint; recompute them
     # on the host (works for abstract skip-init backbones too)

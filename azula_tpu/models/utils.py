@@ -298,6 +298,24 @@ def generate_manifests(family: str, out_dir: str | None = None) -> list[str]:
             denoiser = filter_eval_shape(make_model, **cfg)
             write(card, "model", convert_state_dict(denoiser.backbone, None))
 
+    elif family == "vdm":
+        from .vdm import make_model
+        from .vdm.convert import manifest_state_dict
+
+        for card in load_cards("azula_tpu.models.vdm"):
+            cfg = load_cards("azula_tpu.models.vdm")[card].config
+            denoiser = filter_eval_shape(make_model, **cfg)
+            write(card, "model", manifest_state_dict(denoiser.backbone))
+
+    elif family == "jit":
+        from .jit import make_model
+        from .jit.convert import convert_state_dict
+
+        for card in load_cards("azula_tpu.models.jit"):
+            cfg = load_cards("azula_tpu.models.jit")[card].config
+            denoiser = filter_eval_shape(make_model, **cfg)
+            write(card, "model", convert_state_dict(denoiser.backbone, None))
+
     else:
         raise ValueError(f"no manifest generator for family '{family}'")
 

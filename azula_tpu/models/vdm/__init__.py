@@ -111,6 +111,10 @@ def load_model(name: str, dtype=None) -> VelocityDenoiser:
 
     denoiser = filter_eval_shape(make_model, **card.config)
 
+    from ..utils import check_manifest
+
+    check_manifest(state, "vdm", name, "model")
+
     sd = convert_state_dict(state)
     backbone = load_state_dict(denoiser.backbone, sd)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 __all__ = [
     "convert_state_dict",
+    "manifest_state_dict",
 ]
 
 import numpy as np
@@ -48,5 +49,40 @@ def convert_state_dict(torch_sd) -> dict[str, np.ndarray]:
             name = name[: -len(".weight")] + ".scale"
 
         out[name] = w
+
+    return out
+
+
+def manifest_state_dict(backbone) -> dict[str, tuple]:
+    r"""Expected checkpoint key -> shape manifest for a (possibly abstract)
+    :class:`~azula_tpu.models.vdm.backbone.VDMUNet`.
+
+    Inverts :func:`convert_state_dict`'s uniform transform over the native
+    state dict — the conversion is bijective (strict
+    `load_state_dict` covers every native leaf), so the manifest enumerates
+    exactly the keys a matching v-diffusion checkpoint must contain.
+    """
+
+    from ...utils.pytree import state_dict
+
+    out = {}
+
+    for name, leaf in state_dict(backbone).items():
+        shape = tuple(int(d) for d in leaf.shape)
+
+        if len(shape) == 4:  # HWIO -> torch OIHW
+            kh, kw, i, o = shape
+            shape = (o, i, kh, kw)
+        elif (
+            len(shape) == 2
+            and name.endswith(".weight")
+            and not name.endswith("timestep_embed.weight")
+        ):
+            shape = shape[::-1]
+
+        if name.endswith(".scale") and len(shape) == 1:
+            name = name[: -len(".scale")] + ".weight"
+
+        out[name] = shape
 
     return out

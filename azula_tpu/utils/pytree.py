@@ -192,6 +192,10 @@ def state_dict(tree: Any) -> dict[str, jax.Array]:
 
     Equivalent of `torch.nn.Module.state_dict` (used by the reference for
     checkpointing, see `/root/reference/tests/test_nn_unet.py:63-68`).
+
+    Abstract trees work too: :class:`jax.ShapeDtypeStruct` leaves (the
+    skip-init idiom) are mapped like arrays, so manifest generators can walk
+    a backbone's expected shapes without allocating it.
     """
 
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
@@ -199,7 +203,7 @@ def state_dict(tree: Any) -> dict[str, jax.Array]:
     out = {}
 
     for path, leaf in flat:
-        if is_array(leaf):
+        if is_array(leaf) or isinstance(leaf, jax.ShapeDtypeStruct):
             out[".".join(_key_str(p) for p in path)] = leaf
 
     return out

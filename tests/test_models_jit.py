@@ -103,3 +103,27 @@ def test_torch_parity(reference_jit, key):
     err = np.abs(out_ref - np.asarray(out_ours))
 
     assert err.max() < 1e-4, err.max()
+
+
+def test_card_manifests_accept_reference_layout(reference_jit):
+    r"""Real-oracle manifest validation: the reference `JiT_models[...]` state
+    dict at each card's full config IS the published checkpoint layout (after
+    the `net.` strip `load_model` applies, reference `jit/__init__.py:138`),
+    so the packaged manifest must accept it exactly. Built on torch's meta
+    device — shapes only, no multi-GB allocation."""
+
+    import torch
+
+    from azula_tpu.models.utils import check_manifest, load_cards
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from azula.plugins.jit._src.model import JiT_models
+    finally:
+        sys.path.remove("/root/reference")
+
+    for card, spec in load_cards("azula_tpu.models.jit").items():
+        with torch.device("meta"):
+            ref = JiT_models[spec.config["model"]]()
+
+        check_manifest(ref.state_dict(), "jit", card, "model")

@@ -75,6 +75,21 @@ def test_state_dict_isomorphism(reference_models, name, key):
             expected = shape
         assert our_sd[k] == expected, (k, our_sd[k], expected)
 
+    # Real-oracle manifest validation: the reference torch model's state dict
+    # IS the published checkpoint layout, so the packaged manifest must accept
+    # it exactly (`load_model` diffs against it before converting).
+    from azula_tpu.models.utils import check_manifest
+
+    card = {
+        "danbooru_128": "danbooru_128x128",
+        "imagenet_128": "imagenet_128x128",
+        "wikiart_128": "wikiart_128x128",
+        "wikiart_256": "wikiart_256x256",
+        "yfcc_1": "yfcc_512x512",
+        "yfcc_2": "yfcc_512x512_large",
+    }[name]
+    check_manifest(ref.state_dict(), "vdm", card, "model")
+
     del ref
 
 
