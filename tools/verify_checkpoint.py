@@ -8,6 +8,15 @@ r"""Verifies a downloaded checkpoint against a card's key -> shape manifest.
 Exit code 0 = the checkpoint matches the manifest; 1 = named key/shape diff
 (printed). Accepts one or more `.safetensors` files (shards are merged) or a
 torch `.pt`/`.pth` state dict.
+
+NVlabs pickles (`edm`/`eldm` families, `.pkl`) carry their own architecture
+hyperparameters, so there is no stored manifest; verification instead
+constructs the backbone abstractly from the pickle's metadata and runs the
+strict two-way conversion (missing keys raise by name, unconsumed keys fail):
+
+.. code-block:: console
+
+    PYTHONPATH=. python tools/verify_checkpoint.py edm cifar10_32x32 model edm-cifar10-32x32-uncond-ve.pkl
 """
 
 import sys
@@ -46,6 +55,22 @@ def main() -> int:
         return 2
 
     family, card, component, *paths = sys.argv[1:]
+
+    if family in ("edm", "eldm"):
+        import importlib
+
+        convert = importlib.import_module(f"azula_tpu.models.{family}.convert")
+        try:
+            module = convert.build_from_pickle(paths[0])
+        except (KeyError, AssertionError, ValueError) as e:
+            print(e)
+            return 1
+
+        import jax
+
+        n = sum(x.size for x in jax.tree.leaves(module) if hasattr(x, "size"))
+        print(f"ok: pickle matches its own architecture metadata ({n:,} parameters)")
+        return 0
 
     from azula_tpu.models.utils import check_manifest
 
