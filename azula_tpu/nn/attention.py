@@ -22,6 +22,7 @@ from einops import rearrange
 from jax import Array
 
 from ..ops.attention import dot_product_attention
+from ..ops.fused_msa import fused_msa_attention, fused_msa_eligible
 from .layers import Identity, Linear, RMSNorm
 from .module import Module
 from .utils import promote_dtype
@@ -117,11 +118,24 @@ class MultiheadSelfAttention(Module):
         """
 
         qkv = self.qkv_proj(x)
+
+        theta = None if self.theta_proj is None else self.theta_proj(pos)
+
+        if self.implementation in (None, "auto") and fused_msa_eligible(
+            x, self.heads, theta, mask, self.dropout, key
+        ):
+            # Single-kernel serving path: QK-norm + RoPE + attention run on
+            # the QKV projection output in its native (B, L, 3HD) layout —
+            # no head transpose, no materialized L x L weights
+            # (azula_tpu.ops.fused_msa).
+            eps = self.qk_norm.eps if isinstance(self.qk_norm, RMSNorm) else None
+            y = fused_msa_attention(qkv, self.heads, theta, eps=eps)
+            return self.y_proj(y)
+
         q, k, v = rearrange(qkv, "... L (n H C) -> n ... H L C", n=3, H=self.heads)
         q, k = self.qk_norm(q), self.qk_norm(k)
 
-        if self.theta_proj is not None:
-            theta = self.theta_proj(pos)
+        if theta is not None:
             theta = rearrange(theta, "... L (H C) -> ... H L C", H=self.heads)
             q, k = apply_rope(q, k, theta)
 

@@ -363,3 +363,85 @@ def test_flash_attention_dropout_masked(key):
 
     assert jnp.all(jnp.isfinite(out))
     assert jnp.max(jnp.abs(out)) < 1e2
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("rope", [True, False])
+@pytest.mark.parametrize("eps", [1e-5, None])
+def test_fused_msa_matches_reference(dtype, rope, eps, key):
+    from azula_tpu.ops.fused_msa import _kernel_call, _reference, rope_tables
+
+    B, L, H, D = 8, 256, 6, 64
+    C = H * D
+    k1, k2 = jax.random.split(key)
+
+    qkv = jax.random.normal(k1, (B, L, 3 * C), dtype=dtype)
+    scale = 1 / D**0.5
+
+    if rope:
+        theta = jax.random.normal(k2, (L, C // 2), dtype=dtype) * 2
+        cos2, sin2 = rope_tables(theta, H)
+    else:
+        cos2 = sin2 = None
+
+    ref = _reference(qkv, cos2, sin2, H, eps, scale)
+    out = jax.jit(lambda a, b, c: _kernel_call(a, b, c, H, eps, scale))(qkv, cos2, sin2)
+
+    tol = 3e-3 if dtype == jnp.bfloat16 else 1e-3
+    assert jnp.max(jnp.abs(ref.astype(jnp.float32) - out.astype(jnp.float32))) < tol
+
+
+@requires_tpu
+def test_fused_msa_model_route(key):
+    r"""The auto dispatch takes the fused kernel and agrees with the unfused
+    XLA path at the model level (QK-norm + learned RoPE + attention)."""
+
+    from azula_tpu.nn.attention import MultiheadSelfAttention
+    from azula_tpu.ops.fused_msa import fused_msa_eligible
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    B, L, C, H = 4, 256, 384, 6
+
+    msa = MultiheadSelfAttention(C, pos_channels=2, attention_heads=H, rope=True, key=k1)
+    x = jax.random.normal(k2, (B, L, C), dtype=jnp.bfloat16)
+    pos = jax.random.normal(k3, (L, 2), dtype=jnp.bfloat16)
+
+    theta = msa.theta_proj(pos)
+    assert fused_msa_eligible(x, H, theta, None, 0.0, None)
+
+    fused = msa(x, pos)
+
+    msa.implementation = "xla"
+    unfused = msa(x, pos)
+
+    err = jnp.max(jnp.abs(fused.astype(jnp.float32) - unfused.astype(jnp.float32)))
+    assert err < 2e-2, err
+
+
+@requires_tpu
+def test_fused_msa_grads(key):
+    r"""custom_vjp backward (XLA recompute) matches grads of the reference."""
+
+    from azula_tpu.ops.fused_msa import _reference, fused_msa_attention, rope_tables
+
+    B, L, H, D = 2, 128, 4, 64
+    C = H * D
+    k1, k2 = jax.random.split(key)
+
+    qkv = jax.random.normal(k1, (B, L, 3 * C))
+    theta = jax.random.normal(k2, (L, C // 2))
+    scale = 1 / D**0.5
+
+    def loss_fused(qkv, theta):
+        return jnp.sum(jnp.square(fused_msa_attention(qkv, H, theta, eps=1e-5)))
+
+    def loss_ref(qkv, theta):
+        cos2, sin2 = rope_tables(theta, H)
+        return jnp.sum(jnp.square(_reference(qkv, cos2, sin2, H, 1e-5, scale)))
+
+    g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(qkv, theta)
+    g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(qkv, theta)
+
+    for a, b in zip(g1, g2):
+        assert jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-6) < 1e-2

@@ -24,8 +24,8 @@ def main():
 
     params, static = partition(denoiser)
 
-    x = jax.random.normal(jax.random.key(1), (B, *shape))
-    t = jnp.full((B,), 0.5)
+    x = jax.random.normal(jax.random.key(1), (B, *shape), dtype=jnp.bfloat16)
+    t = jnp.full((B,), 0.5, dtype=jnp.bfloat16)
 
     @jax.jit
     def fwd(params, x, t):
