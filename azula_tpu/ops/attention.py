@@ -34,7 +34,15 @@ def _xla_attention(
     mask: Array | None = None,
     scale: float | None = None,
 ) -> Array:
-    r"""Reference XLA implementation: softmax(q kᵀ / √D) v with fp32 softmax."""
+    r"""Reference XLA implementation: softmax(q kᵀ / √D) v with fp32 softmax.
+
+    The softmax is decomposed so the value matmul consumes *unnormalized*
+    exp-weights and the denominator divides the (L, D) product afterwards —
+    mathematically identical (the denominator is constant per query row),
+    but it keeps the f32 L x L tensor out of the matmul's operand fusion and
+    runs ~3.4x faster than `softmax -> cast -> dot` on TPU at DiT shapes
+    (measured 0.139 vs 0.478 ms at B=128, H=6, L=256, D=64).
+    """
 
     if scale is None:
         scale = 1 / math.sqrt(q.shape[-1])
@@ -50,11 +58,22 @@ def _xla_attention(
         else:
             logits = logits + mask
 
-    weights = jax.nn.softmax(logits, axis=-1)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    weights = jnp.exp(logits - m)
+    denom = jnp.sum(weights, axis=-1, dtype=jnp.float32)
 
-    return jnp.einsum(
-        "...qk,...kd->...qd", weights.astype(q.dtype), v
-    )
+    if q.dtype == jnp.float32:
+        out = jnp.einsum("...qk,...kd->...qd", weights / denom[..., None], v)
+    else:
+        out = jnp.einsum(
+            "...qk,...kd->...qd",
+            weights.astype(q.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        )
+        out = out / denom[..., None]
+
+    return out.astype(q.dtype)
 
 
 # How a flattened (B*H,) program index maps into a broadcast bias of
