@@ -15,13 +15,22 @@ matmul fusions on either side stay intact and no transpose ever touches HBM.
 Per program, the whole per-head pipeline runs in VMEM:
 
 1. slice head :math:`h`'s query/key/value columns,
-2. RMS-normalize q, k in f32 (`nn.layers.rms_norm` semantics),
+2. reduce the per-row RMS-norm factors :math:`r_q, r_k` of q, k — the
+   normalization itself is **deferred**: since RoPE is a rotation and the
+   dots are bilinear, :math:`\mathrm{norm}` commutes all the way to the
+   logits, where it becomes an outer-product scaling
+   :math:`(q k^\top) \cdot r_q r_k^\top` folded into the exp pass (no f32
+   normalize-and-materialize of q/k, the kernel's hottest VPU phase),
 3. rotate pairs by the positional angles. The interleaved pair swap
    :math:`x_{2i} \leftrightarrow x_{2i+1}` is lane-hostile on the VPU, so it
    runs as a :math:`D \times D` permutation matmul on the MXU (exact: one
    product per output lane), against precomputed full-width
    :math:`\cos` / signed-:math:`\sin` tables,
-4. flash attention with f32 logits that never leave the core.
+4. attention with f32 logits that never leave the core. With QK-norm on,
+   the logits are bounded by :math:`\mathrm{scale} \cdot D` (Cauchy-Schwarz
+   on unit-RMS rows), so the softmax exponentiates directly — the
+   max-subtraction pass over the :math:`L \times L` tile is provably
+   unnecessary.
 
 Backward: gradients flow through an XLA reference implementation of the same
 math (`custom_vjp` recomputes the forward — one extra forward per step, the
@@ -158,6 +167,12 @@ def _kernel_call(qkv, cos2, sin2, heads, eps, scale):
             G = g
             break
 
+    # With QK-norm on, the softmax shortcut below exponentiates *unshifted*
+    # logits; they are bounded by scale * D (Cauchy-Schwarz on unit-RMS rows,
+    # |q_i . k_j| <= ||q_i|| ||k_j|| = D), so exp stays finite in f32 as long
+    # as the bound is moderate. exp(30) * L < 1e17 — comfortably inside f32.
+    nomax = eps is not None and scale * C / heads <= 30.0
+
     def kernel(*refs):
         refs = list(refs)
         qkv_ref = refs.pop(0)
@@ -169,55 +184,85 @@ def _kernel_call(qkv, cos2, sin2, heads, eps, scale):
             # Pair-swap as a permutation matmul: P[i, j] = [j == i ^ 1]. The
             # MXU is idle during the rope/norm phase, so this is cheaper than
             # lane rolls on the VPU (measured: rolls+select lost ~5% e2e).
+            # A 0/1 selection matrix is exact in every dtype; native-dtype
+            # operands keep the MXU in single-pass mode (HIGHEST on f32
+            # operands would cost 6 passes).
             i = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
             j = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
-            P = ((i ^ 1) == j).astype(jnp.float32)
+            P = ((i ^ 1) == j).astype(qkv.dtype)
 
         for g in range(G):
             xb = qkv_ref[g]  # (L, 3C)
             for h in range(heads):
-                qh = xb[:, h * D : (h + 1) * D].astype(jnp.float32)
-                kh = xb[:, C + h * D : C + (h + 1) * D].astype(jnp.float32)
+                qh = xb[:, h * D : (h + 1) * D]
+                kh = xb[:, C + h * D : C + (h + 1) * D]
                 vh = xb[:, 2 * C + h * D : 2 * C + (h + 1) * D]
 
                 if eps is not None:
-                    qh = qh * jax.lax.rsqrt(
-                        jnp.mean(jnp.square(qh), axis=-1, keepdims=True) + eps
+                    # RMS-norm commutes through the dots: norm(q) @ norm(k)^T
+                    # = (q @ k^T) * rq rk^T, an outer-product scaling of the
+                    # logits. Computing only the per-row factors here (two
+                    # (L, 1) reductions) and folding the scaling into the exp
+                    # pass below skips the f32 normalize-and-materialize of q
+                    # and k entirely — the kernel's hottest VPU phase.
+                    rq = jax.lax.rsqrt(
+                        jnp.mean(
+                            jnp.square(qh.astype(jnp.float32)), -1, keepdims=True
+                        )
+                        + eps
                     )
-                    kh = kh * jax.lax.rsqrt(
-                        jnp.mean(jnp.square(kh), axis=-1, keepdims=True) + eps
+                    rk = jax.lax.rsqrt(
+                        jnp.mean(
+                            jnp.square(kh.astype(jnp.float32)), -1, keepdims=True
+                        )
+                        + eps
                     )
 
                 if rope:
+                    # RoPE is a rotation — it commutes with the row scaling
+                    # rq/rk, so it can act on the raw (unnormalized) heads.
                     ch = c_ref[0][:, h * D : (h + 1) * D]
                     sh = s_ref[0][:, h * D : (h + 1) * D]
-                    # HIGHEST keeps the permutation exact: the default (bf16
-                    # passes) precision would truncate the f32 operand.
+                    # bf16 operands are exact under a 0/1 selection matrix in
+                    # a single MXU pass; f32 operands need HIGHEST or the
+                    # default bf16 pass truncates their mantissa.
+                    prec = None if not f32 else jax.lax.Precision.HIGHEST
                     swap_q = jnp.dot(
-                        qh, P, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        qh, P, preferred_element_type=jnp.float32, precision=prec
                     )
                     swap_k = jnp.dot(
-                        kh, P, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        kh, P, preferred_element_type=jnp.float32, precision=prec
                     )
-                    qh = qh * ch + swap_q * sh
-                    kh = kh * ch + swap_k * sh
-
-                qh = qh.astype(qkv.dtype)
-                kh = kh.astype(qkv.dtype)
-
-                logits = (
-                    jax.lax.dot_general(
-                        qh,
-                        kh,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    qh = (qh.astype(jnp.float32) * ch + swap_q * sh).astype(
+                        qkv.dtype
                     )
-                    * scale
+                    kh = (kh.astype(jnp.float32) * ch + swap_k * sh).astype(
+                        qkv.dtype
+                    )
+
+                logits = jax.lax.dot_general(
+                    qh,
+                    kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                m = jnp.max(logits, axis=-1, keepdims=True)
-                p = jnp.exp(logits - m)
+                if eps is not None:
+                    # Associated as (logits * col) * row: the two broadcast
+                    # multiplies fuse into the exp pass below for free
+                    # (measured: folding them into the rope epilogue instead
+                    # lost 7% end-to-end), and no (L, L) outer-product
+                    # intermediate is formed.
+                    logits = (logits * (scale * rq)) * rk.reshape(1, L)
+                else:
+                    logits = logits * scale
+
+                if nomax:
+                    # Bounded logits (see above): exponentiate directly, no
+                    # max pass over the (L, L) tile.
+                    p = jnp.exp(logits)
+                else:
+                    m = jnp.max(logits, axis=-1, keepdims=True)
+                    p = jnp.exp(logits - m)
                 d = jnp.sum(p, axis=-1, keepdims=True)
 
                 # Same normalization order as the standalone flash kernels:
