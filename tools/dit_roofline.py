@@ -2,8 +2,7 @@ r"""Per-op roofline audit of the dit32 bench forward (VERDICT r2 next-step #1).
 
 Times every constituent primitive of one DiTBlock standalone — jitted and
 scanned on-device at the exact bench shapes (B=128, L=256, C=384, H=6, bf16)
-— with enough scan iterations (256) to amortize the ~30-45 ms host->device
-dispatch of the remote TPU relay, then compares
+— then compares
 
     sum(standalone achievable times) x 12 blocks + patch/head overhead
         vs
@@ -14,6 +13,15 @@ of what the chip achieves on its own constituent ops: the remaining MFU gap
 is per-shape primitive efficiency (the D=64 attention QK dot can use at most
 half of the 128-deep MXU; the C=384 contraction runs below peak), not
 composition/fusion losses we can recover.
+
+Harness: each iteration computes ``fn(x + c)`` where ``c`` is a data-dependent
+scalar carry (``min(y) * 1e-20``) — the scan cannot CSE across iterations, the
+host->device dispatch of the remote TPU relay is paid once per 256 iterations,
+and the per-iteration overhead is one scalar broadcast-add (fused into the
+op's operand read by XLA) plus a reduce, instead of the ~0.8 ms full-tensor
+carry copy of the previous harness. The measured identity floor is printed
+and subtracted from the Pallas row (a kernel boundary cannot fuse the add);
+XLA rows absorb it into their operand fusions.
 
 Usage: python tools/dit_roofline.py
 """
@@ -34,20 +42,16 @@ PEAK = 197e12  # v5e bf16 peak FLOP/s
 
 
 def timeit(fn, x, *args, reps=256, n=3):
-    r"""On-device scan timing: the carry is the op input, so iterations chain
-    (no CSE) and the host dispatch is paid once per `reps` iterations."""
+    r"""On-device scan timing with a scalar dependency carry (see module doc)."""
 
     @jax.jit
     def loop(x, *args):
         def body(c, _):
-            y = fn(c, *args)
-            # Chain the output back into the carry, whatever its shape
-            if y.shape != c.shape:
-                y = jnp.zeros_like(c) + jnp.mean(y).astype(c.dtype)
-            return y, None
+            y = fn(x + c, *args)
+            return jnp.min(y).astype(x.dtype) * jnp.asarray(1e-20, x.dtype), None
 
-        y, _ = jax.lax.scan(body, x, length=reps)
-        return jnp.sum(y.astype(jnp.float32))
+        c, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), length=reps)
+        return c.astype(jnp.float32)
 
     float(loop(x, *args))
     ts = []
@@ -78,7 +82,10 @@ def main():
     def row(name, dt, flops, count=1):
         rows.append((name, dt * 1e3, flops / dt / 1e12 if flops else 0.0, count))
 
-    # -- matmuls (carry-chained to defeat CSE; weights constant) --
+    # -- harness floor on the kernel-input shape --
+    floor = timeit(lambda z: z, qkv)
+
+    # -- matmuls (scalar-carry chained to defeat CSE; weights constant) --
     row("qkv  (M,C)@(C,3C)+b", timeit(lambda x: x @ w_qkv + b_qkv, x), 2 * M * C * 3 * C)
     row("proj (M,C)@(C,C)", timeit(lambda x: x @ w_proj, x), 2 * M * C * C)
     row(
@@ -93,9 +100,10 @@ def main():
     cos2, sin2 = rope_tables(theta, H)
     scale = (C // H) ** -0.5
 
+    dt_msa = timeit(lambda qkv: _fused(qkv, cos2, sin2, H, 1e-5, scale), qkv)
     row(
         "fused MSA kernel (norm+rope+attn)",
-        timeit(lambda qkv: _fused(qkv, cos2, sin2, H, 1e-5, scale), qkv),
+        max(dt_msa - floor, 0.0),
         2 * B * H * (2 * L * L * (C // H)),
     )
 
@@ -119,6 +127,7 @@ def main():
         total += ms * count
         pct = f"{100 * tf * 1e12 / PEAK:5.1f}%" if tf else "     -"
         print(f"{name:36s} {ms:8.3f} {tf:7.1f} {pct}")
+    print(f"{'(harness floor, subtracted above)':36s} {floor * 1e3:8.3f}")
 
     print(f"\nsum of parts (1 block):  {total:.3f} ms")
     print(f"x 12 blocks:             {12 * total:.3f} ms")
