@@ -1103,9 +1103,10 @@ def dot_product_attention(
     Dispatches to the Pallas flash-attention kernels on TPU for self-attention
     with aligned shapes — above the measured :math:`L \ge 512` crossover when
     dropout-free, and for any eligible :math:`L` when training with attention
-    dropout (the dropout mask is generated *in-kernel* with the TPU core PRNG,
-    so the :math:`L \times L` weights are never materialized) — and to a fused
-    XLA implementation otherwise.
+    dropout (the dropout keep-mask is computed *in-kernel* as a counter-based
+    hash of the seed and absolute coordinates — see :func:`dropout_keep_mask`
+    — so the :math:`L \times L` weights are never materialized) — and to a
+    fused XLA implementation otherwise.
 
     Arguments:
         q: Queries, with shape :math:`(*, H, L, D)`.

@@ -74,8 +74,10 @@ def test_packaged_manifests_cover_all_cards():
 
     import azula_tpu.models.adm  # noqa: F401
     import azula_tpu.models.flux  # noqa: F401
+    import azula_tpu.models.jit  # noqa: F401
     import azula_tpu.models.sana  # noqa: F401
     import azula_tpu.models.sd  # noqa: F401
+    import azula_tpu.models.vdm  # noqa: F401
     from azula_tpu.models.utils import _manifest_dir
 
     import os
@@ -85,6 +87,8 @@ def test_packaged_manifests_cover_all_cards():
         "sd": ("unet", "vae", "text_encoder"),
         "flux": ("transformer", "vae", "text_encoder", "text_encoder_2"),
         "sana": ("transformer", "vae", "text_encoder"),
+        "vdm": ("model",),
+        "jit": ("model",),
     }
 
     for family, parts in components.items():

@@ -214,18 +214,19 @@ def test_attention_implementation_override(key):
 
     q = jax.random.normal(key, (1, 2, 128, 64))
 
-    auto = dot_product_attention(q, q, q)  # < 256 tokens -> XLA by default
+    auto = dot_product_attention(q, q, q)  # < 512 tokens -> XLA by default
     forced = dot_product_attention(q, q, q, implementation="pallas")
     xla = dot_product_attention(q, q, q, implementation="xla")
 
     assert jnp.allclose(auto, xla, atol=1e-6)
     assert jnp.max(jnp.abs(forced - xla)) < 2e-4
 
-    # ... and at L >= 256 the auto dispatch routes to the batched kernel
-    q = jax.random.normal(key, (1, 2, 256, 64))
+    # ... and at the L >= 512 floor the auto dispatch routes to the Pallas
+    # kernels (batched short-L window) — compare against forced XLA
+    q = jax.random.normal(key, (1, 2, 512, 64))
     auto = dot_product_attention(q, q, q)
     xla = dot_product_attention(q, q, q, implementation="xla")
-    assert jnp.max(jnp.abs(auto - xla)) < 2e-4
+    assert jnp.max(jnp.abs(auto - xla)) < 2e-3
 
     with pytest.raises(ValueError):
         dot_product_attention(q[..., :60], q[..., :60], q[..., :60], implementation="pallas")

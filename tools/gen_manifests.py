@@ -26,7 +26,7 @@ def main() -> None:
 
     from azula_tpu.models.utils import generate_manifests
 
-    families = sys.argv[1:] or ["sd", "flux", "sana", "adm"]
+    families = sys.argv[1:] or ["sd", "flux", "sana", "adm", "vdm", "jit"]
     for family in families:
         for path in generate_manifests(family):
             print(path)
