@@ -398,6 +398,25 @@ def test_fused_msa_matches_reference(dtype, rope, eps, key):
 
 
 @requires_tpu
+def test_fused_msa_large_scale_max_path(key):
+    r"""A logit scale exceeding the bounded-logits budget (scale * D > 30)
+    falls back to the max-subtracted softmax inside the kernel — deferred
+    normalization must still agree with the reference twin there."""
+
+    from azula_tpu.ops.fused_msa import _kernel_call, _reference
+
+    B, L, H, D = 4, 256, 6, 64
+    qkv = jax.random.normal(key, (B, L, 3 * H * D), dtype=jnp.bfloat16)
+    scale = 1.0  # scale * D = 64 > 30
+
+    ref = _reference(qkv, None, None, H, 1e-5, scale)
+    out = jax.jit(lambda a: _kernel_call(a, None, None, H, 1e-5, scale))(qkv)
+
+    assert jnp.all(jnp.isfinite(out))
+    assert jnp.max(jnp.abs(ref.astype(jnp.float32) - out.astype(jnp.float32))) < 2e-2
+
+
+@requires_tpu
 def test_fused_msa_model_route(key):
     r"""The auto dispatch takes the fused kernel and agrees with the unfused
     XLA path at the model level (QK-norm + learned RoPE + attention)."""
