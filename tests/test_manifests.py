@@ -227,3 +227,35 @@ def test_flux_t5_manifest_matches_transformers():
         model.state_dict(), "flux", "flux_1_dev", "text_encoder_2",
         canonicalize=canonicalize_t5_keys,
     )
+
+
+def test_verify_checkpoint_cli(manifest_env, tmp_path, monkeypatch):
+    r"""`tools/verify_checkpoint.py` round trip: a safetensors file matching
+    the manifest exits 0; a shape drift exits 1 with a named diff."""
+
+    import importlib.util
+    import os
+    import sys
+
+    from safetensors import numpy as st
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_checkpoint",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "verify_checkpoint.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    manifest_env("toy", "card", "model", {"w": [4, 2], "b": [2]})
+
+    good = tmp_path / "good.safetensors"
+    st.save_file({"w": np.zeros((4, 2), np.float32), "b": np.zeros(2, np.float32)}, str(good))
+
+    monkeypatch.setattr(sys, "argv", ["verify", "toy", "card", "model", str(good)])
+    assert cli.main() == 0
+
+    bad = tmp_path / "bad.safetensors"
+    st.save_file({"w": np.zeros((4, 3), np.float32), "b": np.zeros(2, np.float32)}, str(bad))
+
+    monkeypatch.setattr(sys, "argv", ["verify", "toy", "card", "model", str(bad)])
+    assert cli.main() == 1
