@@ -43,13 +43,19 @@ class MultiheadSelfAttention(Module):
         dropout: The attention dropout rate in :math:`[0, 1]`.
         implementation: The attention implementation — :py:`None` (measured
             auto-dispatch), `'pallas'`, `'xla'` (forwarded to
-            :func:`azula_tpu.ops.attention.dot_product_attention`), or
-            `'ring'`: sequence-parallel exact ring attention
-            (:func:`azula_tpu.parallel.ring.ring_attention_local`). With
-            `'ring'` the module must run inside a `shard_map` whose
-            ``ring_axis`` shards the token dimension; K/V blocks then stream
-            around the ICI ring and no device ever holds the full sequence.
-        ring_axis: The mesh axis name carrying sequence shards (with `'ring'`).
+            :func:`azula_tpu.ops.attention.dot_product_attention`), or the
+            sequence-parallel routes `'ring'` / `'ulysses'`
+            (:func:`azula_tpu.parallel.ring.ring_attention_local`,
+            :func:`azula_tpu.parallel.ulysses.ulysses_attention_local`). With
+            either, the module must run inside a `shard_map` whose
+            ``ring_axis`` shards the token dimension: `'ring'` streams K/V
+            blocks around the ICI ring (no device ever holds the full
+            sequence); `'ulysses'` transposes to head parallelism with two
+            `all_to_all`s and runs full local attention (needs heads
+            divisible by the axis size; cheaper for short-per-device
+            sequences).
+        ring_axis: The mesh axis name carrying sequence shards (with
+            `'ring'` / `'ulysses'`).
         key: A PRNG key for parameter initialization.
     """
 
@@ -139,15 +145,20 @@ class MultiheadSelfAttention(Module):
             theta = rearrange(theta, "... L (H C) -> ... H L C", H=self.heads)
             q, k = apply_rope(q, k, theta)
 
-        if self.implementation == "ring":
+        if self.implementation in ("ring", "ulysses"):
             if mask is not None:
-                raise NotImplementedError("ring attention does not support masks")
+                raise NotImplementedError("sequence-parallel attention does not support masks")
             if key is not None and self.dropout > 0:
-                raise NotImplementedError("ring attention does not support dropout")
+                raise NotImplementedError("sequence-parallel attention does not support dropout")
 
-            from ..parallel.ring import ring_attention_local
+            if self.implementation == "ring":
+                from ..parallel.ring import ring_attention_local
 
-            y = ring_attention_local(q, k, v, axis=self.ring_axis)
+                y = ring_attention_local(q, k, v, axis=self.ring_axis)
+            else:
+                from ..parallel.ulysses import ulysses_attention_local
+
+                y = ulysses_attention_local(q, k, v, axis=self.ring_axis)
         else:
             y = dot_product_attention(
                 q,

@@ -1,0 +1,133 @@
+r"""Tests for Ulysses (all_to_all) sequence-parallel attention on the
+8-virtual-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from azula_tpu.ops.attention import _xla_attention
+from azula_tpu.parallel import make_mesh, ulysses_attention
+
+
+@pytest.fixture(scope="module")
+def devices():
+    ds = jax.devices()
+    if len(ds) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return ds
+
+
+def test_ulysses_attention_matches_full(devices, key):
+    mesh = make_mesh(model=1)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, L, D = 2, 8, 64, 16  # L shards 8 tokens, H shards 1 head per device
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    ref = _xla_attention(q, k, v)
+    out = ulysses_attention(q, k, v, mesh)
+
+    assert jnp.allclose(ref, jax.device_get(out), atol=1e-5)
+
+    # Output stays sequence-sharded
+    assert len(out.sharding.device_set) == 8
+
+
+def test_ulysses_attention_grads(devices, key):
+    mesh = make_mesh(model=1)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, L, D = 1, 8, 32, 8
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    g_uly = jax.grad(lambda q: jnp.sum(ulysses_attention(q, k, v, mesh) ** 2))(q)
+    g_full = jax.grad(lambda q: jnp.sum(_xla_attention(q, k, v) ** 2))(q)
+
+    assert jnp.allclose(g_full, jax.device_get(g_uly), atol=1e-4)
+
+
+def test_ulysses_head_divisibility(devices, key):
+    r"""H not divisible by the axis size raises with a pointer to ring."""
+
+    mesh = make_mesh(model=1)
+
+    q = jax.random.normal(key, (1, 6, 64, 8))  # 6 heads, 8 devices
+
+    with pytest.raises(ValueError, match="divisible"):
+        ulysses_attention(q, q, q, mesh)
+
+
+def test_dit_sequence_parallel_ulysses(devices, key):
+    r"""A DiT with ``implementation='ulysses'`` runs end-to-end with its token
+    axis sharded over the mesh, matching the unsharded model's outputs and
+    parameter gradients (the Ulysses twin of the ring model-route test)."""
+
+    from jax.sharding import PartitionSpec as P
+
+    from azula_tpu.nn.dit import DiT
+    from azula_tpu.utils.pytree import combine, partition
+
+    mesh = make_mesh(model=1)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, L, C = 2, 32, 16  # 4 tokens per device; 8 heads over 8 devices
+
+    plain = DiT(
+        in_channels=C,
+        out_channels=C,
+        mod_features=8,
+        hid_channels=32,
+        hid_blocks=2,
+        attention_heads=8,
+        key=k1,
+    )
+    params, static = partition(plain)
+
+    def with_ulysses(dit):
+        blocks = [
+            b.tree_replace(
+                msa=b.msa.tree_replace(implementation="ulysses", ring_axis="data")
+            )
+            for b in dit.blocks
+        ]
+        return dit.tree_replace(blocks=blocks)
+
+    x = jax.random.normal(k2, (B, L, C))
+    mod = jax.random.normal(k3, (8,))
+    pos = jnp.arange(L, dtype=x.dtype)[:, None] * jnp.ones((B, 1, 1), x.dtype)
+
+    spec = P(None, "data", None)
+
+    def fwd(params, x, pos, mod):
+        return with_ulysses(combine(params, static))(x, mod=mod, pos=pos)
+
+    sharded = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, P()),
+        out_specs=spec,
+    )
+
+    out = sharded(params, x, pos, mod)
+
+    def fwd_full(params, x, pos, mod):
+        return combine(params, static)(x, mod=mod, pos=pos)
+
+    ref = fwd_full(params, x, pos, mod)
+
+    assert jnp.allclose(jax.device_get(out), ref, atol=1e-5)
+
+    g_uly = jax.grad(lambda p: jnp.sum(sharded(p, x, pos, mod) ** 2))(params)
+    g_full = jax.grad(lambda p: jnp.sum(fwd_full(p, x, pos, mod) ** 2))(params)
+
+    for a, b in zip(jax.tree.leaves(g_uly), jax.tree.leaves(g_full)):
+        assert jnp.allclose(jax.device_get(a), b, atol=1e-4)
