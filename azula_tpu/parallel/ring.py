@@ -37,19 +37,25 @@ def _ring_body(axis_name: str, scale: float):
 
         B, H, Lq, D = q.shape
 
-        qf = q.astype(jnp.float32) * scale
+        # Dots run in the *input* dtype with float32 accumulation
+        # (``preferred_element_type``): for bf16 operands this is the MXU's
+        # native bf16-in/f32-accumulate mode — bit-identical to upcasting the
+        # operands to f32 first, at 8x the fp32 matmul rate on v5e. Softmax
+        # statistics (m, l) and the output accumulator stay f32.
+        acc = jnp.float32
 
         # Derive accumulators from q so they carry the shard_map axis-varying
         # type of the inputs
-        m = jnp.full_like(qf[..., :1], -jnp.inf)
-        l = jnp.zeros_like(qf[..., :1])
-        o = jnp.zeros_like(qf)
+        m = jnp.full_like(q[..., :1], -jnp.inf, dtype=acc)
+        l = jnp.zeros_like(q[..., :1], dtype=acc)
+        o = jnp.zeros_like(q, dtype=acc)
 
         def step(i, carry):
             k_blk, v_blk, m, l, o = carry
 
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32)
+            logits = (
+                jnp.einsum("bhqd,bhkd->bhqk", q, k_blk, preferred_element_type=acc)
+                * scale
             )
 
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
@@ -57,7 +63,11 @@ def _ring_body(axis_name: str, scale: float):
             corr = jnp.exp(m - m_new)
 
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            o = o * corr + jnp.einsum("bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32))
+            # PV weights round to the operand dtype (the standard flash
+            # trade); exact when the inputs are f32.
+            o = o * corr + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(q.dtype), v_blk, preferred_element_type=acc
+            )
 
             # Pass K/V to the next device in the ring
             perm = [(j, (j + 1) % n) for j in range(n)]
