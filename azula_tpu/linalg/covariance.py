@@ -197,17 +197,22 @@ class FullCovariance(Covariance):
 
     @staticmethod
     def from_data(X: Array) -> FullCovariance:
-        samples, *shape = X.shape
-        features = math.prod(shape)
+        r"""Eigendecomposes the sample covariance of ``X`` (rows = samples).
 
-        assert features < samples
+        Storing the eigenbasis instead of the raw matrix makes :attr:`inv` and
+        :meth:`color` O(D²) matvecs with no further factorization.
+        """
 
-        X = X.reshape(samples, features)
+        count, *event = X.shape
+        dim = math.prod(event)
 
-        C = jnp.cov(X.T).reshape(features, features)
-        L, Q = jnp.linalg.eigh(C)
+        assert count > dim, "need more samples than features for a full-rank estimate"
 
-        return FullCovariance(Q.reshape(*shape, features), L)
+        flat = X.reshape(count, dim)
+        centered = flat - flat.mean(axis=0)
+        L, Q = jnp.linalg.eigh(centered.T @ centered / (count - 1))
+
+        return FullCovariance(Q.reshape(*event, dim), L)
 
     def __add__(self, other: Covariance) -> Covariance:
         if isinstance(other, IsotropicCovariance):
@@ -262,54 +267,59 @@ class DPLRCovariance(Covariance):
 
     @staticmethod
     def from_data(X: Array, rank: int = 1, iterations: int = 0) -> DPLRCovariance:
-        r"""Factor-analysis estimator: PCA initialization + EM iterations.
+        r"""Fits the factor model :math:`x \sim N(\bar x, \mathrm{diag}(D) + VV^\top)`.
 
-        References:
-            | The EM Algorithm for Mixtures of Factor Analyzers (Ghahramani et al., 1996)
-            | https://mlg.eng.cam.ac.uk/zoubin/papers/tr-96-1.pdf
+        The loadings :math:`V` start from the leading principal subspace of the
+        centered data and are optionally refined by factor-analysis
+        expectation-maximization with per-feature residual noise.
+
+        Derivation: written from the EM equations in Ghahramani & Hinton,
+        *The EM Algorithm for Mixtures of Factor Analyzers* (1996),
+        https://mlg.eng.cam.ac.uk/zoubin/papers/tr-96-1.pdf. Functional parity
+        target: the reference estimator, `azula/linalg/covariance.py:281-340`.
         """
 
-        samples, *shape = X.shape
-        features = math.prod(shape)
+        count, *event = X.shape
+        dim = math.prod(event)
 
-        assert 0 < rank < min(features, samples)
+        assert 0 < rank < min(dim, count)
 
-        X = X.reshape(samples, features)
-        X = X - X.mean(axis=0)
+        Y = X.reshape(count, dim)
+        Y = Y - Y.mean(axis=0)
+        denom = count - 1
 
-        # PCA initialization (Gram trick when samples < features)
-        if samples < features:
-            C = jnp.einsum("if,jf->ij", X, X) / (samples - 1)
+        # Leading principal subspace. Eigendecompose whichever Gram matrix —
+        # feature-space Yᵀ Y or sample-space Y Yᵀ — is smaller; in the
+        # sample-space case the feature-space directions are recovered as
+        # normalized data combinations Yᵀ u (they share nonzero eigenvalues).
+        if dim <= count:
+            evals, evecs = jnp.linalg.eigh(Y.T @ Y / denom)
+            top_vals, top_dirs = evals[-rank:], evecs[:, -rank:]
         else:
-            C = jnp.einsum("ni,nj->ij", X, X) / (samples - 1)
+            evals, evecs = jnp.linalg.eigh(Y @ Y.T / denom)
+            top_vals = evals[-rank:]
+            top_dirs = Y.T @ evecs[:, -rank:]
+            top_dirs = top_dirs / jnp.linalg.norm(top_dirs, axis=0, keepdims=True)
 
-        L, Q = jnp.linalg.eigh(C)
-        L, Q = L[-rank:], Q[:, -rank:]
+        V = top_dirs * jnp.sqrt(top_vals)
+        marginal_var = jnp.var(Y, axis=0, ddof=1)
+        D = marginal_var - jnp.square(V).sum(axis=-1)
 
-        if samples < features:
-            Q = jnp.einsum("ni,nj->ij", X, Q)
-            Q = Q / jnp.linalg.norm(Q, axis=0, keepdims=True)
-
-        V = Q * jnp.sqrt(L)
-        D = jnp.var(X, axis=0, ddof=1) - jnp.einsum("fi,fi->f", V, V)
-
-        # EM iterations for factor analysis
+        # EM refinement. E-step: with C = diag(D) + VVᵀ the latent posterior
+        # is z | y ~ N(Vᵀ C⁻¹ y, I − Vᵀ C⁻¹ V) — the Woodbury `inv` above
+        # makes Vᵀ C⁻¹ an O(dim·rank) product. M-step: the loadings solve the
+        # normal equations E[y zᵀ] = V E[z zᵀ], and the noise floor absorbs
+        # the per-feature variance the factors leave unexplained.
+        eye = jnp.eye(rank, dtype=Y.dtype)
         for _ in range(iterations):
-            B = DPLRCovariance(D, V).inv(V.T)
-            Ez = jnp.einsum("if,nf->ni", B, X)
-            Ezz = (
-                jnp.eye(V.shape[-1], dtype=D.dtype)
-                - jnp.einsum("if,fj->ij", B, V)
-                + jnp.einsum("ni,nj->ij", Ez, Ez) / (samples - 1)
-            )
-            Ezz_inv = jnp.linalg.inv(Ezz)
+            proj = DPLRCovariance(D, V).inv(V.T)  # rows of Vᵀ C⁻¹, (rank, dim)
+            latent = Y @ proj.T  # posterior means, (count, rank)
+            second = eye - proj @ V + latent.T @ latent / denom
 
-            V = jnp.einsum("nf,ni,ij->fj", X, Ez, Ezz_inv) / (samples - 1)
-            D = jnp.var(X, axis=0, ddof=1) - jnp.einsum("fi,ni,nf->f", V, Ez, X) / (
-                samples - 1
-            )
+            V = jnp.linalg.solve(second.T, latent.T @ Y / denom).T
+            D = marginal_var - jnp.einsum("nf,ni,fi->f", Y, latent, V) / denom
 
-        return DPLRCovariance(D.reshape(shape), V.reshape(*shape, -1))
+        return DPLRCovariance(D.reshape(event), V.reshape(*event, -1))
 
     def __add__(self, other: Covariance) -> Covariance:
         if isinstance(other, IsotropicCovariance):
@@ -486,30 +496,29 @@ class KroneckerCovariance(Covariance):
 
     @staticmethod
     def from_data(X: Array, rank: int = 0, iterations: int = 0) -> KroneckerCovariance:
-        Qs = []
+        r"""Estimates per-axis eigenbases from the axis-marginal covariances,
+        then fits the inner covariance on the data expressed in the joint
+        (Kronecker) eigenbasis — diagonal by default, DPLR when ``rank > 0``.
+        """
 
-        for i in range(1, X.ndim):
-            Ci = jnp.cov(jnp.moveaxis(X, i, 0).reshape(X.shape[i], -1))
-            _, Qi = jnp.linalg.eigh(Ci)
-            Qs.append(Qi)
+        axis_bases = []
+        for axis in range(1, X.ndim):
+            flat = jnp.moveaxis(X, axis, -1).reshape(-1, X.shape[axis])
+            _, Q = jnp.linalg.eigh(jnp.cov(flat.T))
+            axis_bases.append(Q)
 
-        abc = string.ascii_lowercase[: len(Qs)]
-        ABC = abc.upper()
+        # Rotate the samples into the joint eigenbasis one axis at a time
+        # (y = Qᵢᵀ x along each event axis).
+        Y = X
+        for axis, Q in enumerate(axis_bases, start=1):
+            Y = jnp.moveaxis(jnp.moveaxis(Y, axis, -1) @ Q, -1, axis)
 
-        X = jnp.einsum(
-            f"...{abc},"
-            + ",".join(f"{i}{i.upper()}" for i in abc)
-            + f"->...{ABC}",
-            X,
-            *Qs,
-        )
-
-        if rank > 0 and len(Qs) > 1:
-            L = DPLRCovariance.from_data(X, rank=rank, iterations=iterations)
+        if rank > 0 and len(axis_bases) > 1:
+            L = DPLRCovariance.from_data(Y, rank=rank, iterations=iterations)
         else:
-            L = DiagonalCovariance.from_data(X)
+            L = DiagonalCovariance.from_data(Y)
 
-        return KroneckerCovariance(Qs, L)
+        return KroneckerCovariance(axis_bases, L)
 
     def __add__(self, other: Covariance) -> Covariance:
         if isinstance(other, IsotropicCovariance):

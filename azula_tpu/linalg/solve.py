@@ -1,14 +1,17 @@
-r"""Linear system solvers.
+r"""Fixed-iteration Krylov solvers.
 
-Fixed-iteration conjugate gradient and GMRES, matching the reference's
-"no convergence check" design (`azula/linalg/solve.py:29-32`), which is already
-XLA-shaped: a fixed number of iterations means a static compute graph with no
-host-device synchronization.
+Both solvers run a *static* number of iterations with no convergence test, so
+the whole solve compiles to one XLA program with zero host round-trips — the
+natural TPU shape for the guidance solvers (DiffPIR/JFPS/MMPS), where each
+matrix-vector product is itself a backbone JVP/VJP. Functional parity target:
+``azula/linalg/solve.py`` (reference), whose fixed-iteration contract these
+functions keep; the implementations here are written for JAX from the update
+equations.
 
-TPU-first deviation: the reference promotes intermediate math to float64
-(`solve.py:46-47`). On TPU float64 is emulated and slow, so the default
-intermediate dtype here is float32; pass `dtype=jnp.float64` (under
-`jax.experimental.enable_x64`) to reproduce the reference exactly.
+TPU-first deviation: the reference defaults its scalar recurrences to float64.
+float64 is emulated (slow) on TPU, so the default working precision here is
+float32; pass ``dtype=jnp.float64`` under ``jax.experimental.enable_x64`` when
+host-grade accuracy matters more than speed.
 """
 
 __all__ = [
@@ -23,6 +26,12 @@ from collections.abc import Callable
 from jax import Array
 
 
+def _rowdot(u: Array, v: Array) -> Array:
+    r"""Batched inner product over the trailing axis: ``(*, D) -> (*,)``."""
+
+    return jnp.sum(u * v, axis=-1)
+
+
 def cg(
     A: Callable[[Array], Array],
     b: Array,
@@ -30,59 +39,64 @@ def cg(
     iterations: int = 1,
     dtype: jnp.dtype | None = None,
 ) -> Array:
-    r"""Solves a linear system :math:`Ax = b` with conjugate gradient (CG) iterations.
+    r"""Runs :math:`n` conjugate-gradient iterations on :math:`Ax = b`.
 
-    The matrix :math:`A \in \mathbb{R}^{D \times D}` must be symmetric positive
-    (semi)definite. All iterations are performed regardless of convergence
-    (reference `azula/linalg/solve.py:14-75`), compiled to a single
-    :func:`jax.lax.fori_loop`.
+    CG requires :math:`A \in \mathbb{R}^{D \times D}` to act as a symmetric
+    PSD operator. The recurrence is the textbook one (Hestenes & Stiefel):
+    step length :math:`\alpha_k = \frac{r_k^\top r_k}{d_k^\top A d_k}` along the
+    search direction, then a residual update and a new conjugate direction with
+    mixing factor :math:`\beta_k = \frac{r_{k+1}^\top r_{k+1}}{r_k^\top r_k}`.
+    Denominators are floored at machine epsilon so an early exact solve yields
+    harmless zero-length steps instead of NaNs. The loop body is iteration
+    independent, so it lowers to a single :func:`jax.lax.fori_loop`.
 
     Arguments:
         A: The linear operator :math:`x \mapsto Ax`.
-        b: The right-hand side vector :math:`b`, with shape :math:`(*, D)`.
-        x0: An initial guess :math:`x_0`, with shape :math:`(*, D)`. If :py:`None`,
-            use :math:`x_0 = 0` instead.
-        iterations: The number of CG iterations :math:`n`.
-        dtype: The data type used for intermediate computations. If :py:`None`,
-            use :class:`jnp.float32` instead (see module docstring).
+        b: The right-hand side :math:`b`, with shape :math:`(*, D)`.
+        x0: An optional warm start with shape :math:`(*, D)`; zero when omitted.
+        iterations: The number of iterations :math:`n` (static).
+        dtype: Working precision of the recurrence (default float32; see the
+            module docstring).
 
     Returns:
-        The :math:`n`-th iteration :math:`x_n`, with shape :math:`(*, D)`.
+        The iterate :math:`x_n`, with shape :math:`(*, D)`, cast back to
+        ``b.dtype``.
     """
 
     if dtype is None:
         dtype = jnp.float32
 
-    epsilon = jnp.finfo(dtype).eps
-    out_dtype = b.dtype
+    tiny = jnp.finfo(dtype).eps
+    io_dtype = b.dtype
 
     if x0 is None:
-        x = jnp.zeros_like(b, dtype=dtype)
-        r = b.astype(dtype)
+        sol = jnp.zeros_like(b, dtype=dtype)
+        resid = b.astype(dtype)
     else:
-        x = x0.astype(dtype)
-        r = (b - A(x0)).astype(dtype)
+        sol = x0.astype(dtype)
+        resid = (b - A(x0)).astype(dtype)
 
-    rr = jnp.einsum("...i,...i->...", r, r)
-    p = r
+    def body(_, state):
+        sol, resid, resid_sq, dirn = state
 
-    def body(_, carry):
-        x, r, rr, p = carry
+        # The operator is evaluated in the caller's dtype (it may be a bf16
+        # backbone JVP); only the scalar recurrence runs at working precision.
+        op_dir = A(dirn.astype(io_dtype)).astype(dtype)
+        step = resid_sq / jnp.clip(_rowdot(dirn, op_dir), min=tiny)
 
-        Ap = A(p.astype(out_dtype)).astype(dtype)
-        pAp = jnp.einsum("...i,...i->...", p, Ap)
-        alpha = rr / jnp.clip(pAp, min=epsilon)
-        x_ = x + alpha[..., None] * p
-        r_ = r - alpha[..., None] * Ap
-        rr_ = jnp.einsum("...i,...i->...", r_, r_)
-        beta = rr_ / jnp.clip(rr, min=epsilon)
-        p_ = r_ + beta[..., None] * p
+        sol = sol + step[..., None] * dirn
+        resid = resid - step[..., None] * op_dir
 
-        return x_, r_, rr_, p_
+        new_sq = _rowdot(resid, resid)
+        mix = new_sq / jnp.clip(resid_sq, min=tiny)
+        dirn = resid + mix[..., None] * dirn
 
-    x, *_ = jax.lax.fori_loop(0, iterations, body, (x, r, rr, p))
+        return sol, resid, new_sq, dirn
 
-    return x.astype(out_dtype)
+    state = (sol, resid, _rowdot(resid, resid), resid)
+    sol, *_ = jax.lax.fori_loop(0, iterations, body, state)
+
+    return sol.astype(io_dtype)
 
 
 def gmres(
@@ -92,99 +106,106 @@ def gmres(
     iterations: int = 1,
     dtype: jnp.dtype | None = None,
 ) -> Array:
-    r"""Solves a linear system :math:`Ax = b` with generalized minimal residual (GMRES) iterations.
+    r"""Runs :math:`m` GMRES iterations on :math:`Ax = b`.
 
-    The matrix :math:`A \in \mathbb{R}^{D \times D}` can be non-symmetric
-    non-definite. Arnoldi + Givens rotations with a fixed number of iterations
-    (reference `azula/linalg/solve.py:78-185`). The iteration count is small and
-    static, so the loop is unrolled at trace time.
+    Works for any square operator (no symmetry assumption). The method builds
+    an orthonormal Krylov basis by modified Gram-Schmidt (Arnoldi) and keeps
+    the growing Hessenberg matrix rotated into upper-triangular form with one
+    new Givens rotation per column, so the least-squares problem at the end is
+    a single small triangular solve. Because ``iterations`` is static and
+    small (guidance uses 1-8), the outer loop is unrolled at trace time; each
+    column of the Hessenberg lives as a plain Python list of batched scalars,
+    which XLA constant-folds into straight-line code.
 
     Arguments:
         A: The linear operator :math:`x \mapsto Ax`.
-        b: The right-hand side vector :math:`b`, with shape :math:`(*, D)`.
-        x0: An initial guess :math:`x_0`, with shape :math:`(*, D)`. If :py:`None`,
-            use :math:`x_0 = 0` instead.
-        iterations: The number of GMRES iterations :math:`n`.
-        dtype: The data type used for intermediate computations. If :py:`None`,
-            use :class:`jnp.float32` instead (see module docstring).
+        b: The right-hand side :math:`b`, with shape :math:`(*, D)`.
+        x0: An optional warm start with shape :math:`(*, D)`; zero when omitted.
+        iterations: The Krylov subspace dimension :math:`m` (static).
+        dtype: Working precision of the recurrence (default float32; see the
+            module docstring).
 
     Returns:
-        The :math:`n`-th iteration :math:`x_n`, with shape :math:`(*, D)`.
+        The iterate :math:`x_m`, with shape :math:`(*, D)`, cast back to
+        ``b.dtype``.
     """
 
     if dtype is None:
         dtype = jnp.float32
 
-    epsilon = jnp.finfo(dtype).eps
-    out_dtype = b.dtype
+    tiny = jnp.finfo(dtype).eps
+    io_dtype = b.dtype
+    m = iterations
 
-    if x0 is None:
-        r = b
-    else:
-        r = b - A(x0)
+    resid = b if x0 is None else b - A(x0)
+    resid = resid.astype(dtype)
 
-    r = r.astype(dtype)
+    def unit(v):
+        length = jnp.linalg.norm(v, axis=-1)
+        return v / jnp.clip(length[..., None], min=tiny), length
 
-    def normalize(x):
-        norm = jnp.linalg.norm(x, axis=-1)
-        x = x / jnp.clip(norm[..., None], min=epsilon)
-        return x, norm
+    def make_rotation(a, h):
+        # Plane rotation zeroing h against a: returns (cos, sin) with the
+        # sign convention  [c -s; s c] [a; h] = [hypot(a, h); 0].
+        hyp = jnp.clip(jnp.sqrt(a * a + h * h), min=tiny)
+        return a / hyp, -h / hyp
 
-    def rotation(a, b):
-        c = jnp.clip(jnp.sqrt(a * a + b * b), min=epsilon)
-        return a / c, -b / c
+    q0, resid_len = unit(resid)
 
-    V = [None for _ in range(iterations + 1)]
-    B = [None for _ in range(iterations + 1)]
-    H = [[None for _ in range(iterations)] for _ in range(iterations + 1)]
-    cs = [None for _ in range(iterations)]
-    ss = [None for _ in range(iterations)]
+    basis = [q0]  # orthonormal Krylov vectors, each (*, D)
+    upper = []  # rotated (triangular) Hessenberg columns, col j has j+1 entries
+    rhs = [resid_len]  # rotated residual projections, grows by one per column
+    rotations = []
 
-    V[0], B[0] = normalize(r)
+    for j in range(m):
+        w = A(basis[j].astype(io_dtype)).astype(dtype)
 
-    for j in range(iterations):
-        w = A(V[j].astype(out_dtype)).astype(dtype)
+        # Modified Gram-Schmidt against every basis vector so far.
+        col = []
+        for q in basis:
+            proj = _rowdot(w, q)
+            w = w - proj[..., None] * q
+            col.append(proj)
+        w, spill = unit(w)
+        col.append(spill)
+        basis.append(w)
 
-        # Arnoldi iteration for the (j+1)-th basis vector
-        for i in range(j + 1):
-            H[i][j] = jnp.einsum("...i,...i->...", w, V[i])
-            w = w - H[i][j][..., None] * V[i]
-        w, w_norm = normalize(w)
-        H[j + 1][j] = w_norm
-        V[j + 1] = w
+        # Keep the column triangular: replay the accumulated rotations, then
+        # generate one more to annihilate the subdiagonal entry.
+        for i, (c, s) in enumerate(rotations):
+            hi, lo = col[i], col[i + 1]
+            col[i] = c * hi - s * lo
+            col[i + 1] = s * hi + c * lo
 
-        # Givens rotations
-        for i in range(j):
-            tmp = cs[i] * H[i][j] - ss[i] * H[i + 1][j]
-            H[i + 1][j] = cs[i] * H[i + 1][j] + ss[i] * H[i][j]
-            H[i][j] = tmp
+        c, s = make_rotation(col[j], col[j + 1])
+        rotations.append((c, s))
+        col[j] = c * col[j] - s * col[j + 1]
+        col[j + 1] = jnp.zeros_like(col[j])
 
-        cs[j], ss[j] = rotation(H[j][j], H[j + 1][j])
-        H[j][j] = cs[j] * H[j][j] - ss[j] * H[j + 1][j]
+        # The same rotation acts on the residual projection vector.
+        rhs.append(s * rhs[j])
+        rhs[j] = c * rhs[j]
 
-        # Update residual vector
-        B[j + 1] = ss[j] * B[j]
-        B[j] = cs[j] * B[j]
+        upper.append(col)
 
-        # Fill with zeros
-        for i in range(j + 1, iterations + 1):
-            H[i][j] = jnp.zeros_like(H[j][j])
-
-    V, B, H = V[:-1], B[:-1], H[:-1]
-
-    V = jnp.stack(V, axis=-2)
-    B = jnp.stack(B, axis=-1)
-    H = jnp.stack([jnp.stack(Hi, axis=-1) for Hi in H], axis=-2)
+    # Assemble the (m, m) triangular system R y = g. Column j only has j+1
+    # meaningful entries; the rest are zero-padded to stack.
+    zero = jnp.zeros_like(rhs[0])
+    R = jnp.stack(
+        [jnp.stack(col[:m] + [zero] * (m - len(col[:m])), axis=-1) for col in upper],
+        axis=-1,
+    )  # (*, m, m), column j in R[..., :, j]
+    g = jnp.stack(rhs[:m], axis=-1)
 
     y = jax.scipy.linalg.solve_triangular(
-        H + epsilon * jnp.eye(iterations, dtype=dtype),
-        B[..., None],
+        R + tiny * jnp.eye(m, dtype=dtype),
+        g[..., None],
         lower=False,
     )[..., 0]
 
-    if x0 is None:
-        x = jnp.einsum("...ij,...i->...j", V, y)
-    else:
-        x = x0 + jnp.einsum("...ij,...i->...j", V, y)
+    span = jnp.stack(basis[:m], axis=-2)  # (*, m, D)
+    update = jnp.einsum("...i,...ij->...j", y, span)
 
-    return x.astype(out_dtype)
+    sol = update if x0 is None else x0 + update
+
+    return sol.astype(io_dtype)

@@ -15,6 +15,8 @@ from azula_tpu.linalg.covariance import DPLRCovariance, KroneckerCovariance
 from azula_tpu.noise import RectifiedSchedule, Schedule, VPSchedule
 from azula_tpu.utils.pytree import combine, partition
 
+pytestmark = pytest.mark.smoke  # sub-minute sanity tier (see CONTRIBUTING.md)
+
 from dummies import Dummy
 
 

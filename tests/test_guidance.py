@@ -271,3 +271,42 @@ def test_tds(problem, key):
     emp = x0.mean(axis=0)
 
     assert jnp.allclose(emp[:OBSERVED], post[:OBSERVED], atol=0.35), (emp, post)
+
+
+def test_tds_ess_and_posterior(problem, key):
+    r"""On the conjugate linear-Gaussian problem with the exact twist
+    p(y | x_t) = N(y; A x_hat, var_y + posterior-variance), the TDS particle
+    system must stay healthy (high effective sample size) and its
+    self-normalized estimate must match the analytic posterior mean and
+    variance (reference math: `azula/guidance/tds.py:57-104`). A wrong weight
+    or twist sign collapses the ESS and biases the estimate far outside these
+    tolerances."""
+
+    denoiser, A, y, var_y, _ = problem
+
+    def twist(x_hat, ratio):
+        # Exact conjugate twist: Var[X | x_t] = v r^2 / (v + r^2) with v = 1.
+        pvar = ratio**2 / (1 + ratio**2)
+        return -jnp.sum((y - A(x_hat)) ** 2, axis=-1) / (2 * (var_y + pvar))
+
+    K = 1024
+    sampler = TDSSampler(denoiser, twist, return_weights=True, steps=128)
+
+    k1, k2 = jax.random.split(key)
+    x1 = sampler.init(k1, (K, CHANNELS))
+    x0, log_w = sampler(x1, key=k2)
+
+    w = jax.nn.softmax(log_w)
+    ess = 1.0 / jnp.sum(w**2)
+    assert ess > 0.25 * K, float(ess)
+
+    post_mean = _posterior_mean(y, var_y)
+    post_var = jnp.concatenate(
+        [jnp.full(OBSERVED, var_y / (1 + var_y)), jnp.ones(CHANNELS - OBSERVED)]
+    )
+
+    est_mean = jnp.einsum("k,kc->c", w, x0)
+    est_var = jnp.einsum("k,kc->c", w, (x0 - est_mean) ** 2)
+
+    assert jnp.allclose(est_mean, post_mean, atol=0.15), (est_mean, post_mean)
+    assert jnp.allclose(est_var, post_var, rtol=0.5, atol=0.05), (est_var, post_var)

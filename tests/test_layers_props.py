@@ -101,6 +101,35 @@ def test_group_norm_large_mean(key):
     assert jnp.max(jnp.abs(var - 1)) < 1e-2
 
 
+def test_group_norm_large_mean_aligned(key):
+    r"""Large-mean robustness at a kernel-eligible shape (C % 128 == 0,
+    multi-block spatial), including the VJP: on TPU this exercises the Pallas
+    statistics path, which the C=32 case above cannot reach (ADVICE r3)."""
+
+    from azula_tpu.ops.norm import group_stats, stats_kernel_eligible
+
+    B, HW, C, G = 2, 1024, 128, 8
+    assert stats_kernel_eligible((B, HW, C))
+
+    x = 4096.0 + 0.1 * jax.random.normal(key, (B, 32, 32, C))
+
+    y = GroupNorm(G, C)(x)
+    g = y.reshape(B, -1, G, C // G)
+    assert jnp.max(jnp.abs(g.mean(axis=(1, 3)))) < 1e-2
+    assert jnp.max(jnp.abs(g.var(axis=(1, 3)) - 1)) < 1e-2
+
+    # VJP of the statistics against finite differences of the mean.
+    def f(x):
+        m, v = group_stats(x.reshape(B, -1, C), G)
+        return jnp.sum(m) + jnp.sum(v)
+
+    grad = jax.grad(f)(x)
+    eps = 1e-2
+    probe = jnp.zeros_like(x).at[0, 3, 5, 7].set(1.0)
+    fd = (f(x + eps * probe) - f(x - eps * probe)) / (2 * eps)
+    assert abs(float(jnp.vdot(grad, probe)) - float(fd)) < 1e-3
+
+
 def test_group_norm_silu_fusion(key):
     r"""The fused GroupNorm-SiLU equals the unfused composition."""
 

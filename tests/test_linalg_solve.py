@@ -6,6 +6,8 @@ import pytest
 
 from azula_tpu.linalg.solve import cg, gmres
 
+pytestmark = pytest.mark.smoke  # sub-minute sanity tier (see CONTRIBUTING.md)
+
 
 @pytest.mark.usefixtures("x64")
 def test_cg_spd(key):

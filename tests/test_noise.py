@@ -14,6 +14,8 @@ from azula_tpu.noise import (
     VPSchedule,
 )
 
+pytestmark = pytest.mark.smoke  # sub-minute sanity tier (see CONTRIBUTING.md)
+
 SCHEDULES = [
     VESchedule,
     VPSchedule,

@@ -7,6 +7,8 @@ run this file on a TPU host:
     JAX_PLATFORMS='' python -m pytest tests/test_ops_tpu.py -q
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import pytest
@@ -469,3 +471,140 @@ def test_fused_msa_grads(key):
 
     for a, b in zip(g1, g2):
         assert jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-6) < 1e-2
+
+
+# --- group_stats: the round-3 regression class ------------------------------
+#
+# The Pallas statistics kernel (`ops/norm.py`) shipped broken at every nblk > 1
+# shape in round 3 because all unit tests used shapes where HW fit one block.
+# These tests pin every implementation AT THE SHAPES THE MODELS EMIT (ADM-256
+# stages, SD/EDM latents) — the kernel selected explicitly, plus the default
+# (pilot) path the models actually run. Run before any ops/ commit:
+#
+#     AZULA_ON_DEVICE=1 python -m pytest -m tpu_kernels -q
+
+
+@requires_tpu
+@pytest.mark.tpu_kernels
+@pytest.mark.parametrize(
+    "B,HW,C,eligible",
+    [
+        (8, 65536, 256, True),  # ADM-256 first stage (256x256), the flagship shape
+        (8, 16384, 512, True),  # ADM-256 128x128 stage
+        (2, 4096, 1024, True),  # ADM-256 attention-resolution stage
+        (4, 9216, 384, True),  # non-power-of-two spatial (96x96), C%128==0
+        (8, 66049, 256, False),  # odd HW (257^2): no aligned divisor -> XLA fallback
+        (2, 4096, 192, False),  # C%128 != 0 -> XLA fallback
+    ],
+)
+def test_group_stats_production_shapes(B, HW, C, eligible, key):
+    from azula_tpu.ops.norm import _stats_twopass, group_stats, stats_kernel_eligible
+
+    assert stats_kernel_eligible((B, HW, C)) == eligible
+
+    groups = 32 if C % 32 == 0 else 24
+
+    # Large |mean| relative to std: the one-pass raw-moment fold cancels
+    # catastrophically here; neither the kernel's centered two-pass nor the
+    # default pilot-shifted fold may.
+    x = 100.0 + 3.0 * jax.random.normal(key, (B, HW, C), dtype=jnp.bfloat16)
+
+    mean_ref, var_ref = _stats_twopass(x, groups)
+
+    for impl in ("pallas", "auto"):
+        mean, var = jax.jit(group_stats, static_argnums=(1, 2))(x, groups, impl)
+
+        assert mean.shape == var.shape == (B, groups)
+        assert float(jnp.max(jnp.abs(mean - mean_ref))) < 1e-3, impl
+        assert float(jnp.max(jnp.abs(var - var_ref) / (jnp.abs(var_ref) + 1e-6))) < 1e-4, impl
+
+
+@requires_tpu
+@pytest.mark.tpu_kernels
+def test_group_stats_grads_on_device(key):
+    from azula_tpu.ops.norm import _stats_twopass, group_stats, stats_kernel_eligible
+
+    B, HW, C = 2, 4096, 256
+    assert stats_kernel_eligible((B, HW, C))
+
+    x = 50.0 + jax.random.normal(key, (B, HW, C), dtype=jnp.float32)
+
+    def loss(x, stats):
+        m, v = stats(x, 32)
+        return jnp.sum(2.0 * m + 0.5 * v)
+
+    g_ref = jax.grad(loss)(x, _stats_twopass)
+
+    for impl in ("pallas", "auto"):
+        g = jax.jit(
+            lambda x, impl=impl: jax.grad(loss)(
+                x, functools.partial(group_stats, implementation=impl)
+            )
+        )(x)
+
+        assert float(jnp.max(jnp.abs(g - g_ref))) < 1e-6, impl
+
+
+@requires_tpu
+@pytest.mark.tpu_kernels
+def test_group_norm_end_to_end_production_shape(key):
+    r"""Full group_norm (stats + normalize) at the flagship ADM stage shape,
+    bf16 activations, against a float64-free but fp32-full XLA oracle."""
+
+    from azula_tpu.ops.norm import group_norm
+
+    B, HW, C, G = 2, 65536, 256, 32
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    x = 10.0 + jax.random.normal(k1, (B, HW, C), dtype=jnp.bfloat16)
+    scale = jax.random.normal(k2, (C,)) * 0.1 + 1.0
+    bias = jax.random.normal(k3, (C,)) * 0.1
+
+    out = jax.jit(group_norm, static_argnums=1)(x, G, scale=scale, bias=bias)
+
+    xf = x.astype(jnp.float32).reshape(B, HW, G, C // G)
+    mu = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    ref = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    ref = ref.reshape(B, HW, C) * scale + bias
+
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref))
+    assert float(err) < 0.05, float(err)
+
+
+@requires_tpu
+@pytest.mark.tpu_kernels
+def test_kernel_families_smoke(key):
+    r"""One compile per remaining kernel family (flash attention, conv3x3,
+    fused MSA) so `pytest -m tpu_kernels` gates every Pallas kernel in <2 min."""
+
+    from azula_tpu.ops.conv import _xla_conv, conv3x3
+    from azula_tpu.ops.fused_msa import _reference, fused_msa_attention, rope_tables
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    # flash attention
+    q = jax.random.normal(k1, (2, 4, 1024, 64), dtype=jnp.bfloat16)
+    k = jax.random.normal(k2, (2, 4, 1024, 64), dtype=jnp.bfloat16)
+    v = jax.random.normal(k3, (2, 4, 1024, 64), dtype=jnp.bfloat16)
+    assert _use_pallas(q, k, v, None)
+    out = dot_product_attention(q, k, v)
+    ref = _xla_attention(q, k, v)
+    assert float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))) < 2e-2
+
+    # conv3x3
+    x = jax.random.normal(k4, (1, 32, 32, 128), dtype=jnp.bfloat16) * 0.1
+    w = jax.random.normal(k5, (3, 3, 128, 128), dtype=jnp.bfloat16) * 0.02
+    assert float(jnp.max(jnp.abs(
+        conv3x3(x, w).astype(jnp.float32) - _xla_conv(x, w).astype(jnp.float32)
+    ))) < 5e-3
+
+    # fused MSA
+    qkv = jax.random.normal(k1, (2, 256, 3 * 256))
+    theta = jax.random.normal(k2, (256, 128))
+    cos2, sin2 = rope_tables(theta, 4)
+    got = fused_msa_attention(qkv, 4, theta, eps=1e-5)
+    want = _reference(qkv, cos2, sin2, 4, 1e-5, 1 / 8.0)
+    # Same budget as test_fused_msa_matches_reference at fp32 (5e-3): the
+    # kernel's exp/softmax runs at a slightly different accumulation order.
+    assert float(jnp.max(jnp.abs(got - want))) < 5e-3

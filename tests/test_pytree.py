@@ -11,6 +11,10 @@ from azula_tpu.utils.pytree import (
     state_dict,
 )
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.smoke  # sub-minute sanity tier (see CONTRIBUTING.md)
+
 
 class Leaf(PyTree):
     def __init__(self, w):

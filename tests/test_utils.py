@@ -16,6 +16,8 @@ from azula_tpu.utils.checkpoint import (
 )
 from azula_tpu.utils.profiling import Throughput, annotate
 
+pytestmark = pytest.mark.smoke  # sub-minute sanity tier (see CONTRIBUTING.md)
+
 
 class Net(Module):
     def __init__(self, key):

@@ -115,8 +115,8 @@ def gn_twopass(x, groups, eps=1e-5):
 
 
 def gn_lazy(x, groups, eps=1e-5):
-    r"""The shipped variant (`ops/norm.py`): raw one-pass moments, centered
-    recompute under `lax.cond` only when the raw fold cancelled."""
+    r"""The shipped path (`ops/norm.py`): on TPU at aligned shapes, a Pallas
+    VMEM-resident two-pass kernel; elsewhere, the XLA two-pass fallback."""
 
     from azula_tpu.ops.norm import group_norm
 
@@ -153,12 +153,15 @@ def main():
             row.append(f"{dt * 1e6:8.1f}u")
         print(f"{f'8x{hw}x{hw}x{c}':>16s}", *row, sep="  ")
 
-    # numerics check: large-mean robustness
-    x = (4096.0 + 0.1 * jax.random.normal(key, (2, 16, 16, 32))).astype(jnp.float32)
-    for name, fn in VARIANTS.items():
-        y = fn(x, 8)
-        # silu(gn) of well-scaled stats stays bounded; cancellation blows up
-        print(f"{name:>9s}: max|y| = {float(jnp.max(jnp.abs(y))):.3f}")
+    # numerics check: large-mean robustness. Two shapes: C=32 exercises the
+    # XLA fallback, C=256 (aligned, multi-block spatial) the Pallas kernel.
+    for shape, groups in [((2, 16, 16, 32), 8), ((2, 96, 96, 256), 32)]:
+        x = (4096.0 + 0.1 * jax.random.normal(key, shape)).astype(jnp.float32)
+        print(f"shape {shape}:")
+        for name, fn in VARIANTS.items():
+            y = fn(x, groups)
+            # silu(gn) of well-scaled stats stays bounded; cancellation blows up
+            print(f"{name:>9s}: max|y| = {float(jnp.max(jnp.abs(y))):.3f}")
 
 
 if __name__ == "__main__":
