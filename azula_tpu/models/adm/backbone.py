@@ -29,7 +29,7 @@ from jax import Array
 from ...nn.layers import Conv, Dropout, GroupNorm, Linear
 from ...nn.module import Module
 from ...ops.attention import dot_product_attention
-from ...ops.norm import group_norm
+from ...ops.norm import group_norm_silu
 
 
 def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0) -> Array:
@@ -192,14 +192,12 @@ class ADMResBlock(Module):
 
         h = None
         for p, lo, hi in zip(parts, offsets[:-1], offsets[1:]):
-            g = jax.nn.silu(
-                group_norm(
-                    p,
-                    (hi - lo) // group,
-                    eps=self.in_norm.eps,
-                    scale=self.in_norm.scale[lo:hi],
-                    bias=self.in_norm.bias[lo:hi],
-                )
+            g = group_norm_silu(
+                p,
+                (hi - lo) // group,
+                eps=self.in_norm.eps,
+                scale=self.in_norm.scale[lo:hi],
+                bias=self.in_norm.bias[lo:hi],
             )
             y = jax.lax.conv_general_dilated(
                 g,
@@ -252,7 +250,13 @@ class ADMResBlock(Module):
                 x = jnp.concatenate(x, axis=-1)
             skip_parts = None
 
-            h = jax.nn.silu(self.in_norm(x))
+            h = group_norm_silu(
+                x,
+                self.in_norm.groups,
+                eps=self.in_norm.eps,
+                scale=self.in_norm.scale,
+                bias=self.in_norm.bias,
+            )
 
             if self.updown == "up":
                 h, x = _upsample2(h), _upsample2(x)
@@ -264,14 +268,28 @@ class ADMResBlock(Module):
         emb_out = self.emb_lin(jax.nn.silu(emb)).astype(h.dtype)
         emb_out = emb_out[:, None, None, :]  # broadcast over spatial (channels-last)
 
+        # GroupNorm + scale-shift modulation + SiLU in one fused op (on TPU at
+        # eligible shapes: a single elementwise pass after the statistics).
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = self.out_norm(h) * (1 + scale) + shift
+            scale, shift = jnp.split(emb_out[:, 0, 0, :], 2, axis=-1)
+            h = group_norm_silu(
+                h,
+                self.out_norm.groups,
+                eps=self.out_norm.eps,
+                scale=self.out_norm.scale,
+                bias=self.out_norm.bias,
+                mod_scale=scale,
+                mod_shift=shift,
+            )
         else:
-            h = h + emb_out
-            h = self.out_norm(h)
+            h = group_norm_silu(
+                h + emb_out,
+                self.out_norm.groups,
+                eps=self.out_norm.eps,
+                scale=self.out_norm.scale,
+                bias=self.out_norm.bias,
+            )
 
-        h = jax.nn.silu(h)
         h = self.drop(h, key)
         h = self.out_conv(h)
 

@@ -7,10 +7,13 @@ Capability parity with the reference `azula/plugins/utils.py:29-60`: the
 from __future__ import annotations
 
 __all__ = [
+    "activation_digest",
     "check_manifest",
+    "compare_digests",
     "generate_manifests",
     "load_cards",
     "load_hub_safetensors",
+    "weight_digest",
 ]
 
 import jax.numpy as jnp
@@ -320,3 +323,112 @@ def generate_manifests(family: str, out_dir: str | None = None) -> list[str]:
         raise ValueError(f"no manifest generator for family '{family}'")
 
     return written
+
+
+def weight_digest(sd: dict, decimals: int = 5) -> dict:
+    r"""Per-tensor statistics of a (numpy/torch/jax) state dict.
+
+    Complements :func:`check_manifest`: shapes catch missing or mis-mapped
+    keys, but not transpositions, dtype truncation, or scaling applied during
+    conversion — per-tensor ``(mean, std)`` in float64 does. Reference load
+    path being protected: `azula/plugins/adm/__init__.py:139-161`.
+    """
+
+    import numpy as np
+
+    out = {}
+    for k in sorted(sd):
+        v = sd[k]
+        if hasattr(v, "detach"):  # torch
+            v = v.detach().cpu().numpy()
+        a = np.asarray(v, dtype=np.float64)
+        out[k] = {
+            "shape": list(a.shape),
+            "mean": round(float(a.mean()), decimals),
+            "std": round(float(a.std()), decimals),
+        }
+    return out
+
+
+def activation_digest(fn, shapes: dict, times=(0.1, 0.5, 0.9), decimals: int = 4) -> list:
+    r"""End-to-end activation statistics of a denoiser on fixed probes.
+
+    ``fn(x_t, t) -> mean-array`` is evaluated on deterministic inputs (fixed
+    PRNG key 0) at a few diffusion times; each record holds the output mean,
+    std, absolute max and 8 fixed pseudo-random projections — any per-layer
+    numerical drift in converted weights propagates into at least one of them.
+
+    Arguments:
+        fn: The probed callable (typically ``lambda x, t: denoiser(x, t).mean``).
+        shapes: ``{"x": (...,)}`` probe input shape (batched).
+        times: Diffusion times to probe.
+    """
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    key = jax.random.key(0)
+    k_x, k_p = jax.random.split(key)
+
+    x = jax.random.normal(k_x, tuple(shapes["x"]), dtype=jnp.float32)
+    proj = jax.random.normal(k_p, (8, x.size), dtype=jnp.float32) / np.sqrt(x.size)
+
+    records = []
+    for t in times:
+        y = np.asarray(
+            fn(x, jnp.full(x.shape[:1], t, dtype=jnp.float32)), dtype=np.float64
+        )
+        p = np.asarray(proj, dtype=np.float64) @ y.reshape(-1)
+        records.append(
+            {
+                "t": t,
+                "mean": round(float(y.mean()), decimals),
+                "std": round(float(y.std()), decimals),
+                "absmax": round(float(np.abs(y).max()), decimals),
+                "proj": [round(float(v), decimals) for v in p],
+            }
+        )
+    return records
+
+
+def compare_digests(got: dict, want: dict, rtol: float = 1e-3, atol: float = 1e-3) -> list[str]:
+    r"""Named differences between two digest documents (empty list = match)."""
+
+    import math
+
+    diffs = []
+
+    def close(a, b):
+        if isinstance(a, list) and isinstance(b, list):
+            return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return math.isclose(a, b, rel_tol=rtol, abs_tol=atol)
+        return a == b
+
+    for section in ("weights", "activations"):
+        g, w = got.get(section), want.get(section)
+        if (g is None) != (w is None):
+            diffs.append(f"{section}: present in one digest only")
+            continue
+        if g is None:
+            continue
+        if section == "weights":
+            for k in sorted(set(g) | set(w)):
+                if k not in g or k not in w:
+                    diffs.append(f"weights[{k}]: missing on one side")
+                elif not all(
+                    close(g[k].get(f), w[k].get(f)) for f in ("shape", "mean", "std")
+                ):
+                    diffs.append(f"weights[{k}]: {g[k]} != {w[k]}")
+        else:
+            for i, (a, b) in enumerate(zip(g, w)):
+                for field in ("mean", "std", "absmax", "proj"):
+                    if not close(a[field], b[field]):
+                        diffs.append(
+                            f"activations[{i}].{field} (t={a.get('t')}): {a[field]} != {b[field]}"
+                        )
+            if len(g) != len(w):
+                diffs.append(f"activations: {len(g)} records != {len(w)}")
+
+    return diffs

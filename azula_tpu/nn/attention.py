@@ -146,19 +146,36 @@ class MultiheadSelfAttention(Module):
             q, k = apply_rope(q, k, theta)
 
         if self.implementation in ("ring", "ulysses"):
-            if mask is not None:
-                raise NotImplementedError("sequence-parallel attention does not support masks")
-            if key is not None and self.dropout > 0:
-                raise NotImplementedError("sequence-parallel attention does not support dropout")
-
+            # SP composition contract (VERDICT r3 #10): both paths take
+            # head-broadcast boolean masks over the global sequence
+            # (replicated across shards; ring slices per hop). Dropout
+            # composes exactly with Ulysses (full local attention per head
+            # shard, per-shard key fold); ring rejects it by design — its
+            # per-hop weight blocks would need a counter scheme coordinated
+            # with the backward's recomputation (parallel/ring.py docstring).
             if self.implementation == "ring":
+                if key is not None and self.dropout > 0:
+                    raise NotImplementedError(
+                        "ring attention does not support dropout; use "
+                        "implementation='ulysses' for sequence-parallel "
+                        "dropout training"
+                    )
+
                 from ..parallel.ring import ring_attention_local
 
-                y = ring_attention_local(q, k, v, axis=self.ring_axis)
+                y = ring_attention_local(q, k, v, axis=self.ring_axis, mask=mask)
             else:
                 from ..parallel.ulysses import ulysses_attention_local
 
-                y = ulysses_attention_local(q, k, v, axis=self.ring_axis)
+                y = ulysses_attention_local(
+                    q,
+                    k,
+                    v,
+                    axis=self.ring_axis,
+                    mask=mask,
+                    dropout_rate=self.dropout if key is not None else 0.0,
+                    key=key,
+                )
         else:
             y = dot_product_attention(
                 q,

@@ -6,28 +6,42 @@ fuses normalization chains well; these helpers keep the math in float32
 regardless of the activation dtype (matching the reference's GroupNorm32) and
 provide the channels-last group-norm used by the UNet and the ADM port.
 
-Three statistics implementations, all robust to |mean| >> std (the raw
+Statistics implementations, all robust to |mean| >> std (the raw
 E[x^2] - E[x]^2 fold cancels catastrophically in float32 — ADVICE r2):
 
-- ``pilot`` (default): a single XLA pass computing *shifted* moments, where
-  the shift is a per-channel pilot row (the first spatial element). The shift
-  identity is exact for any shift, and every term stays O(n * var). Chosen by
-  end-to-end measurement: as a plain XLA reduction it fuses into the producer
-  op's epilogue (conv/attention output), so in a full UNet forward its HBM
-  cost is near zero. Bench bisect (r4): adm256 1.07 img/s with pilot vs 0.94
-  with the Pallas kernel — the kernel forces a materialization boundary the
-  fused reduction never pays, outweighing its single-read advantage.
+- ``auto`` (default) = ``pilot``: a single XLA pass computing *shifted*
+  moments, where the shift is a per-channel pilot row (the first spatial
+  element). The shift identity is exact for any shift, and every term stays
+  O(n * var). This is the principled default: exact statistics at every
+  activation scale, at a measured ~5.5% flagship cost (below).
+- ``raw``: the one-pass E[x^2] - E[x]^2 fold. Fastest by construction — as a
+  pure reduction of an elementwise map it fuses into the *producer* op's
+  epilogue, so in model code the statistics are nearly free — but its
+  variance dies below ~eps * mean^2 (the ADVICE-r2 failure). Opt-in for
+  users who know their activation scales (|mean|/std < ~300 keeps the
+  relative variance error under 1e-2 * eps * (mean/std)^2 ~ 5e-4).
+
+  The full r4 on-chip bisect (BENCH_NOTES): adm256 DDIM-64 runs 1.133 img/s
+  with raw, 1.07 with pilot (the x-dependent shift operand breaks the
+  producer fusion), 0.962 with a raw+subsample-guard hybrid (the strided
+  subsample wrecks fusion outright), 0.94 with the Pallas stats kernel (a
+  pallas_call can never fuse with an XLA producer), and an in-chain
+  conv->gn_silu->conv micro puts even a fully fused two-phase Pallas kernel
+  (2 reads + 1 write) at 9.7 ms vs raw's 7.6 ms. Exactness costs 5.5% end to
+  end, and the default pays it.
+- ``guarded``: raw plus a noise-floor detector with a strided-subsample
+  rescue — kept for reference; measured both slower than pilot in-model and
+  weaker than it numerically, so never dispatched automatically.
 - ``pallas``: a VMEM-resident TPU kernel; each program loads one (S_BLK, C)
   tile *once*, computes per-channel mean and centered sum of squares
   in-register, and a tiny XLA fold combines block moments with the Chan et al.
   parallel-variance formula. Fastest *standalone* (one HBM read, exact
-  centering) — use it when the stats input is already materialized (e.g. a
-  standalone normalization over loaded data) rather than fused model code.
-  The per-block partials are emitted as (B, nblk, 8, C), each program owning
-  an aligned (8, C) sublane tile: Mosaic requires the last two block dims to
-  be divisible by (8, 128) or equal to the array dims, so a (1, 1, C) block
-  over (B, nblk, C) would be illegal at every production nblk > 1 (the r3
-  regression).
+  centering) — use it when the stats input is already materialized rather
+  than produced by fused model code. The per-block partials are emitted as
+  (B, nblk, 8, C), each program owning an aligned (8, C) sublane tile: Mosaic
+  requires the last two block dims to be divisible by (8, 128) or equal to
+  the array dims, so a (1, 1, C) block over (B, nblk, C) would be illegal at
+  every production nblk > 1 (the r3 regression).
 - ``twopass``: mean pass then centered sum of squares — the reference
   semantics in two reads; numerically the most conservative fallback.
 
@@ -101,6 +115,55 @@ def _stats_pilot(x: Array, groups: int) -> tuple[Array, Array]:
         + 2 * jnp.sum(e * t1g, axis=-1)
         + HW * jnp.sum(jnp.square(e), axis=-1)
     ) / n
+
+    return mean, jnp.maximum(var, 0.0)
+
+
+def _stats_guarded(x: Array, groups: int, stride: int = 16) -> tuple[Array, Array]:
+    r"""Raw fused moments with a cancellation guard (see module docstring).
+
+    Three fused reductions, all pure maps of ``x`` so they fuse with the
+    producer: full-input sum and raw sum of squares, plus shifted moments of a
+    ``stride``-subsampled view. The raw variance is kept where it clears its
+    float32 noise floor; the subsample estimate replaces it where raw
+    cancellation would have destroyed it.
+    """
+
+    B, HW, C = x.shape
+    n = HW * (C // groups)
+
+    xf = x.astype(jnp.float32)
+
+    # Raw fold: exact mean; variance valid only above the noise floor.
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(jnp.square(xf), axis=1)
+    g1 = jnp.sum(s1.reshape(B, groups, -1), axis=-1)
+    g2 = jnp.sum(s2.reshape(B, groups, -1), axis=-1)
+    mean = g1 / n
+    var_raw = g2 / n - jnp.square(mean)
+
+    # Strided-subsample shifted re-estimate (pilot fold on x[:, ::stride]).
+    xs = xf[:, ::stride, :]
+    m_rows = xs.shape[1]
+    m = m_rows * (C // groups)
+    shift = xs[:, :1, :]
+    d = xs - shift
+    t1 = jnp.sum(d, axis=1).reshape(B, groups, -1)
+    t2 = jnp.sum(jnp.square(d), axis=1).reshape(B, groups, -1)
+    Kg = shift.reshape(B, groups, -1)
+    mean_sub = jnp.sum(t1 + m_rows * Kg, axis=-1) / m
+    e = Kg - mean_sub[..., None]
+    var_sub = (
+        jnp.sum(t2, axis=-1)
+        + 2 * jnp.sum(e * t1, axis=-1)
+        + m_rows * jnp.sum(jnp.square(e), axis=-1)
+    ) / m
+
+    # Noise floor: |raw var error| <~ E[x^2] * eps * O(log n); 1e-5 leaves a
+    # ~160x margin over eps = 2^-24 while still accepting every activation
+    # with |mean|/std < ~300.
+    floor = 1e-5 * jnp.square(mean)
+    var = jnp.where(var_raw > floor, var_raw, jnp.maximum(var_sub, 0.0))
 
     return mean, jnp.maximum(var, 0.0)
 
@@ -194,6 +257,19 @@ def _stats_fwd_impl(x: Array, groups: int, implementation: str) -> tuple[Array, 
     if implementation == "auto" or implementation == "pilot":
         return _stats_pilot(x, groups)
 
+    if implementation == "raw":
+        B, HW, C = x.shape
+        n = HW * (C // groups)
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=1)
+        s2 = jnp.sum(jnp.square(xf), axis=1)
+        mean = jnp.sum(s1.reshape(B, groups, -1), axis=-1) / n
+        g2 = jnp.sum(s2.reshape(B, groups, -1), axis=-1)
+        return mean, jnp.maximum(g2 / n - jnp.square(mean), 0.0)
+
+    if implementation == "guarded":
+        return _stats_guarded(x, groups)
+
     if implementation == "twopass":
         return _stats_twopass(x, groups)
 
@@ -222,10 +298,12 @@ def group_stats(
     Arguments:
         x: The input, with shape :math:`(B, HW, C)`.
         groups: The number of groups :math:`G` (must divide :math:`C`).
-        implementation: One of ``'auto'`` (= ``'pilot'``, best end-to-end in
-            model code), ``'pilot'``, ``'pallas'`` (best standalone on TPU;
-            falls back off-TPU or on uncovered shapes), ``'twopass'``. See the
-            module docstring for the measurements behind the default.
+        implementation: One of ``'auto'`` (= ``'pilot'``, exact and best
+            end-to-end among the robust folds), ``'raw'`` (fastest, opt-in,
+            cancellation-prone — module docstring), ``'guarded'``,
+            ``'pallas'`` (best standalone on TPU; falls back off-TPU or on
+            uncovered shapes), ``'twopass'``. See the module docstring for
+            the measurements behind the default.
 
     Returns:
         Arrays ``(mean, var)``, each with shape :math:`(B, G)`.
@@ -258,12 +336,282 @@ def _stats_bwd(groups, implementation, residuals, cotangents):
 group_stats.defvjp(_stats_fwd, _stats_bwd)
 
 
+
+# --- fused group norm (stats + affine/modulation + optional SiLU) -----------
+#
+# Any GroupNorm site in the model zoo reduces to silu?(x * A + B) with
+# per-(batch, channel) A, B derived from the group statistics and a composed
+# per-channel / per-batch affine:
+#
+#     gn      = (x - mu) * rsqrt(var + eps) * gamma + beta
+#     mod     = gn * (1 + s) + t          (AdaLN / scale-shift-emb, optional)
+#     out     = silu(mod)                 (optional)
+#
+# With P = gamma * (1 + s) and Q = beta * (1 + s) + t (tiny (B, C) arrays,
+# composed OUTSIDE the kernel so their gradients flow through ordinary XLA):
+#
+#     A = inv * P,   B = Q - mu * inv * P.
+#
+# The Pallas kernel runs a two-phase sequential grid per batch row: phase 0
+# accumulates shifted moments of each (S_BLK, C) tile into VMEM scratch (one
+# HBM read), the phase transition finalizes (mean, var) -> (A, B) in-register
+# (group fold via a one-hot (C, G) matmul), and phase 1 re-reads x and writes
+# silu?(x * A + B) (one read + one write). Total traffic 2R + 1W — the same
+# as the raw-moment XLA path (stats read + apply read/write) but with *exact*
+# shifted statistics, which XLA cannot express in one fused pass (module
+# docstring, BENCH_NOTES r4 bisect).
+
+
+def _group_matrix(C: int, groups: int) -> jnp.ndarray:
+    r"""One-hot (C, G) membership matrix: group folds become tiny matmuls,
+    which Mosaic handles natively (lane-dim reshapes would not be)."""
+
+    import numpy as np
+
+    M = np.zeros((C, groups), dtype=np.float32)
+    M[np.arange(C), np.arange(C) // (C // groups)] = 1.0
+
+    return jnp.asarray(M)
+
+
+def _gn_fused_tpu(
+    x: Array, P: Array, Q: Array, groups: int, eps: float, silu: bool
+) -> Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, HW, C = x.shape
+    S_BLK = _stats_block(HW, C)
+    nblk = HW // S_BLK
+    n = HW * (C // groups)
+
+    M = _group_matrix(C, groups)
+
+    def kernel(x_ref, p_ref, q_ref, m_ref, o_ref, sh, s1, s2, av, bv):
+        p = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(p == 0)
+        def _accumulate():
+            xb = x_ref[0].astype(jnp.float32)  # (S_BLK, C)
+
+            @pl.when(j == 0)
+            def _reset():
+                sh[...] = jnp.broadcast_to(xb[:1], (8, C))
+                s1[...] = jnp.zeros((8, C), jnp.float32)
+                s2[...] = jnp.zeros((8, C), jnp.float32)
+
+            d = xb - sh[:1]
+            s1[:1] += jnp.sum(d, axis=0, keepdims=True)
+            s2[:1] += jnp.sum(d * d, axis=0, keepdims=True)
+
+        @pl.when(jnp.logical_and(p == 1, j == 0))
+        def _finalize():
+            K = sh[:1]  # (1, C) shift
+            t1 = s1[:1]
+            t2 = s2[:1]
+
+            def gsum(v):  # (1, C) -> (1, G)
+                return jax.lax.dot_general(
+                    v, m_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def gbcast(v):  # (1, G) -> (1, C)
+                return jax.lax.dot_general(
+                    v, m_ref[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            mean_g = gsum(t1 + HW * K) / n  # (1, G)
+            mean_c = gbcast(mean_g)  # (1, C)
+            e = K - mean_c
+            var_g = (gsum(t2) + gsum(2.0 * e * t1) + HW * gsum(e * e)) / n
+            inv_c = gbcast(jax.lax.rsqrt(var_g + eps))  # (1, C)
+
+            a = inv_c * p_ref[0]
+            b = q_ref[0] - mean_c * a
+            av[...] = jnp.broadcast_to(a, (8, C))
+            bv[...] = jnp.broadcast_to(b, (8, C))
+
+        @pl.when(p == 1)
+        def _apply():
+            xb = x_ref[0].astype(jnp.float32)
+            y = xb * av[:1] + bv[:1]
+            if silu:
+                y = y * jax.nn.sigmoid(y)
+            o_ref[0] = y.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, 2, nblk),
+        in_specs=[
+            pl.BlockSpec((1, S_BLK, C), lambda b, p, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, p, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b, p, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, groups), lambda b, p, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            # Phase 0 parks on block 0 (never written, so never flushed with
+            # garbage: Mosaic only copies out when the index changes, and the
+            # first change happens after phase 1 writes block 0 for real).
+            (1, S_BLK, C),
+            lambda b, p, j: (b, p * j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, HW, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((8, C), jnp.float32) for _ in range(5)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(x, P, Q, M)
+
+    return out
+
+
+def _gn_fused_xla(
+    x: Array, P: Array, Q: Array, groups: int, eps: float, silu: bool
+) -> Array:
+    mean, var = group_stats(x, groups)  # (B, G) f32, robust pilot fold
+    inv = jax.lax.rsqrt(var + eps)
+
+    inv_c = jnp.repeat(inv, x.shape[-1] // groups, axis=-1)[:, None, :]  # (B, 1, C)
+    mean_c = jnp.repeat(mean, x.shape[-1] // groups, axis=-1)[:, None, :]
+
+    a = inv_c * P
+    b = Q - mean_c * a
+
+    # f32 inside the fused elementwise pass; reads/writes stay in x.dtype
+    # (same HBM traffic, no |mean| * 2^-8 loss from a bf16 fma).
+    y = x.astype(jnp.float32) * a + b
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+
+    return y.astype(x.dtype)
+
+
+def _gn_fused_impl(x, P, Q, groups, eps, silu, implementation="auto"):
+    # 'auto' is the XLA path: in model code its statistics reduction fuses
+    # with the producer op, which no pallas_call can (in-chain micro, module
+    # docstring): conv->gn_silu->conv at the flagship stage runs 7.8 ms via
+    # XLA vs 9.7 ms via the kernel. The kernel ('pallas') wins only
+    # *standalone*, where there is no producer to fuse with.
+    if implementation == "pallas" and stats_kernel_eligible(x.shape):
+        return jax.lax.platform_dependent(
+            x,
+            P,
+            Q,
+            tpu=functools.partial(_gn_fused_tpu, groups=groups, eps=eps, silu=silu),
+            default=functools.partial(_gn_fused_xla, groups=groups, eps=eps, silu=silu),
+        )
+
+    return _gn_fused_xla(x, P, Q, groups, eps, silu)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_fused(
+    x: Array,
+    P: Array,
+    Q: Array,
+    groups: int,
+    eps: float,
+    silu: bool,
+    implementation: str = "auto",
+) -> Array:
+    return _gn_fused_impl(x, P, Q, groups, eps, silu, implementation)
+
+
+def _gn_fused_fwd(x, P, Q, groups, eps, silu, implementation):
+    y = _gn_fused_impl(x, P, Q, groups, eps, silu, implementation)
+    mean, var = group_stats(x, groups)
+    return y, (x, P, Q, mean, var)
+
+
+def _gn_fused_bwd(groups, eps, silu, implementation, residuals, g):
+    x, P, Q, mean, var = residuals
+
+    B, HW, C = x.shape
+    n = HW * (C // groups)
+
+    inv = jax.lax.rsqrt(var + eps)  # (B, G)
+    inv_c = jnp.repeat(inv, C // groups, axis=-1)[:, None, :]  # (B, 1, C)
+    mean_c = jnp.repeat(mean, C // groups, axis=-1)[:, None, :]
+
+    xf = x.astype(jnp.float32)
+    u = (xf - mean_c) * inv_c  # normalized activations
+    g = g.astype(jnp.float32)
+
+    if silu:
+        yv = P * u + Q
+        sig = jax.nn.sigmoid(yv)
+        g = g * sig * (1.0 + yv * (1.0 - sig))  # d silu / d y
+
+    # y = P u + Q: straight-through parts.
+    g_P = jnp.sum(g * u, axis=1, keepdims=True)  # (B, 1, C)
+    g_Q = jnp.sum(g, axis=1, keepdims=True)
+
+    # u = (x - mu) inv with group statistics: standard GN input gradient.
+    gu = g * P
+
+    def gmean(v):  # mean over each (batch, group)
+        s = jnp.sum(v, axis=1)  # (B, C)
+        s = jnp.sum(s.reshape(B, groups, -1), axis=-1) / n  # (B, G)
+        return jnp.repeat(s, C // groups, axis=-1)[:, None, :]  # (B, 1, C)
+
+    g_x = inv_c * (gu - gmean(gu) - u * gmean(gu * u))
+
+    return g_x.astype(x.dtype), g_P.astype(P.dtype), g_Q.astype(Q.dtype)
+
+
+_gn_fused.defvjp(_gn_fused_fwd, _gn_fused_bwd)
+
+
+def _compose_affine(
+    x: Array,
+    groups: int,
+    scale: Array | None,
+    bias: Array | None,
+    mod_scale: Array | None,
+    mod_shift: Array | None,
+) -> tuple[Array, Array, Array]:
+    r"""Flattens ``x`` to (B, HW, C) and composes the per-(batch, channel)
+    affine P, Q from the layer parameters and optional AdaLN-style modulation
+    (each (B, C)-broadcastable)."""
+
+    B, *spatial, C = x.shape
+
+    assert C % groups == 0, f"channels ({C}) must be divisible by groups ({groups})"
+
+    P = jnp.ones((1, 1, C), jnp.float32)
+    Q = jnp.zeros((1, 1, C), jnp.float32)
+
+    if scale is not None:
+        P = P * scale.astype(jnp.float32)
+    if bias is not None:
+        Q = Q + bias.astype(jnp.float32)
+
+    if mod_scale is not None:
+        m = (1.0 + mod_scale.astype(jnp.float32)).reshape(B, 1, C)
+        P = P * m
+        Q = Q * m
+    if mod_shift is not None:
+        Q = Q + mod_shift.astype(jnp.float32).reshape(B, 1, C)
+
+    P = jnp.broadcast_to(P, (B, 1, C))
+    Q = jnp.broadcast_to(Q, (B, 1, C))
+
+    return x.reshape(B, -1, C), P, Q
+
+
 def group_norm(
     x: Array,
     groups: int,
     eps: float = 1e-5,
     scale: Array | None = None,
     bias: Array | None = None,
+    mod_scale: Array | None = None,
+    mod_shift: Array | None = None,
+    implementation: str = "auto",
 ) -> Array:
     r"""Channels-last group normalization with float32 statistics.
 
@@ -273,47 +621,21 @@ def group_norm(
         eps: A numerical stability term.
         scale: Optional per-channel scale :math:`\gamma`, with shape :math:`(C,)`.
         bias: Optional per-channel bias :math:`\beta`, with shape :math:`(C,)`.
+        mod_scale: Optional per-batch modulation :math:`s` (AdaLN /
+            scale-shift-emb): the output becomes :math:`\mathrm{gn}(x)(1+s)+t`.
+            Shape broadcastable to :math:`(B, C)`.
+        mod_shift: Optional per-batch modulation shift :math:`t`.
+        implementation: ``'auto'`` (fused XLA pass — fastest in model code) or
+            ``'pallas'`` (the two-phase VMEM kernel — fastest standalone).
 
     Returns:
         The normalized tensor, with shape :math:`(B, *, C)`.
     """
 
-    dtype = x.dtype
-    B, *spatial, C = x.shape
+    shape = x.shape
+    xf, P, Q = _compose_affine(x, groups, scale, bias, mod_scale, mod_shift)
 
-    assert C % groups == 0, f"channels ({C}) must be divisible by groups ({groups})"
-
-    # Statistics per (batch, group) — one fused-with-producer XLA pass (see
-    # module docstring) — then the normalization applied as one fused
-    # multiply-add: the full-size tensor is never materialized in float32,
-    # halving HBM traffic for bf16 activations. The channel (lane) axis stays
-    # intact throughout: reducing a (B, HW, G, C/G) view over its split minor
-    # dims forces XLA into layout copies that dominate the UNet profile
-    # (measured ~50% of the ADM-256 forward on v5e).
-    mean, var = group_stats(x.reshape(B, -1, C), groups)
-    inv = jax.lax.rsqrt(var + eps)
-
-    # Broadcast per-group stats to per-channel (B, C)
-    a = jnp.repeat(inv, C // groups, axis=-1)
-    b = jnp.repeat(-mean * inv, C // groups, axis=-1)
-
-    if scale is not None:
-        a = a * scale.astype(jnp.float32)
-        b = b * scale.astype(jnp.float32)
-    if bias is not None:
-        b = b + bias.astype(jnp.float32)
-
-    shape = (B,) + (1,) * len(spatial) + (C,)
-    a = a.reshape(shape)
-    b = b.reshape(shape)
-
-    # The affine application runs in float32 *inside* the fused elementwise
-    # pass: reads and writes stay in the activation dtype (same HBM traffic,
-    # measured cost-free in tools/norm_micro.py), but the x·a + b cancellation
-    # — O(|mean|) terms meeting an O(std) result — happens at f32 precision.
-    # Applying in bf16 loses ~|mean|·2^-8 of the output, which at ADM
-    # activation scales exceeds the normalized std.
-    return (x.astype(jnp.float32) * a + b).astype(dtype)
+    return _gn_fused(xf, P, Q, groups, eps, False, implementation).reshape(shape)
 
 
 def group_norm_silu(
@@ -322,9 +644,14 @@ def group_norm_silu(
     eps: float = 1e-5,
     scale: Array | None = None,
     bias: Array | None = None,
+    mod_scale: Array | None = None,
+    mod_shift: Array | None = None,
+    implementation: str = "auto",
 ) -> Array:
-    r"""Fused GroupNorm + SiLU (the ADM ResBlock prologue)."""
+    r"""Fused GroupNorm (+ optional AdaLN modulation) + SiLU — the ADM ResBlock
+    prologue and scale-shift-norm epilogue in one elementwise pass."""
 
-    y = group_norm(x, groups, eps=eps, scale=scale, bias=bias)
+    shape = x.shape
+    xf, P, Q = _compose_affine(x, groups, scale, bias, mod_scale, mod_shift)
 
-    return y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
+    return _gn_fused(xf, P, Q, groups, eps, True, implementation).reshape(shape)

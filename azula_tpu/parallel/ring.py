@@ -10,6 +10,19 @@ each device holds its query block and streams K/V blocks around the ring with
 overlapped by XLA and rides the ICI ring; memory per device is
 :math:`O(L_\mathrm{local})`.
 
+Composition contract (SP hardening, VERDICT r3 #10):
+
+- **Masks**: supported. A replicated boolean mask over the global sequence
+  (:math:`(L, L)` or :math:`(*, 1, L, L)`) is sliced per hop — at step
+  :math:`i`, device :math:`r` holds the K/V block that originated on device
+  :math:`(r - i) \bmod n`, so the mask tile is
+  ``mask[.., r·L_loc : (r+1)·L_loc, j·L_loc : (j+1)·L_loc]``.
+- **Dropout**: rejected by design. Per-weight dropout would need a
+  per-(query-block, key-block) counter scheme coordinated with the backward's
+  recomputation across hops; Ulysses attention (full local attention per head
+  shard) composes with dropout exactly, so masked/dropout training at long
+  context routes there (`azula_tpu.parallel.ulysses`).
+
 References:
     | Ring Attention with Blockwise Transformers for Near-Infinite Context (Liu et al., 2023)
     | https://arxiv.org/abs/2310.01889
@@ -31,11 +44,23 @@ from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+_MASKED_OUT = -1e30  # finite large-negative logit for masked positions
+
+
 def _ring_body(axis_name: str, scale: float):
-    def local_attention(q: Array, k: Array, v: Array) -> Array:
+    def local_attention(q: Array, k: Array, v: Array, mask: Array | None = None) -> Array:
         n = jax.lax.psum(1, axis_name)
 
         B, H, Lq, D = q.shape
+
+        if mask is not None:
+            if mask.ndim >= 3 and mask.shape[-3] != 1:
+                raise ValueError(
+                    "ring attention requires a head-broadcast mask — shape "
+                    f"(L, L) or (*, 1, L, L); got {mask.shape}"
+                )
+            r = jax.lax.axis_index(axis_name)
+            rows = jax.lax.dynamic_slice_in_dim(mask, r * Lq, Lq, axis=mask.ndim - 2)
 
         # Dots run in the *input* dtype with float32 accumulation
         # (``preferred_element_type``): for bf16 operands this is the MXU's
@@ -57,6 +82,16 @@ def _ring_body(axis_name: str, scale: float):
                 jnp.einsum("bhqd,bhkd->bhqk", q, k_blk, preferred_element_type=acc)
                 * scale
             )
+
+            if mask is not None:
+                # The K/V block at step i originated on device (r - i) mod n.
+                r = jax.lax.axis_index(axis_name)
+                j = jax.lax.rem(r - i + n, n)
+                Lk = k_blk.shape[2]
+                tile = jax.lax.dynamic_slice_in_dim(
+                    rows, j * Lk, Lk, axis=rows.ndim - 1
+                )  # (..., Lq, Lk), broadcasts against (B, H, Lq, Lk)
+                logits = jnp.where(tile, logits, _MASKED_OUT)
 
             m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
             p = jnp.exp(logits - m_new)
@@ -89,6 +124,7 @@ def ring_attention_local(
     v: Array,
     axis: str,
     scale: float | None = None,
+    mask: Array | None = None,
 ) -> Array:
     r"""Ring attention on *local shards*, for use inside an enclosing
     `shard_map` whose ``axis`` shards the sequence dimension.
@@ -107,6 +143,9 @@ def ring_attention_local(
         v: Local values, same shape.
         axis: The manual-mesh axis name carrying the sequence shards.
         scale: Logit scale; defaults to :math:`1/\sqrt{D}`.
+        mask: An optional head-broadcast boolean mask over the *global*
+            sequence (:math:`(L, L)` or :math:`(*, 1, L, L)`), replicated
+            across the ``axis`` shards; sliced per hop (module docstring).
 
     Returns:
         The local attention output, with shape :math:`(B, H, L_\mathrm{local}, D)`.
@@ -115,7 +154,7 @@ def ring_attention_local(
     if scale is None:
         scale = 1 / math.sqrt(q.shape[-1])
 
-    return _ring_body(axis, scale)(q, k, v)
+    return _ring_body(axis, scale)(q, k, v, mask=mask)
 
 
 def ring_attention(
@@ -125,6 +164,7 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "data",
     scale: float | None = None,
+    mask: Array | None = None,
 ) -> Array:
     r"""Computes exact attention with the sequence axis sharded over the mesh.
 
@@ -135,6 +175,8 @@ def ring_attention(
         mesh: The device mesh.
         axis: The mesh axis name carrying the sequence shards.
         scale: Logit scale; defaults to :math:`1/\sqrt{D}`.
+        mask: An optional head-broadcast boolean mask (:math:`(L, L)` or
+            :math:`(*, 1, L, L)`), replicated over the mesh.
 
     Returns:
         The attention output, sequence-sharded like the inputs.
@@ -145,14 +187,23 @@ def ring_attention(
 
     spec = P(None, None, axis, None)
 
+    args = [q, k, v]
+    specs = [spec, spec, spec]
+    if mask is not None:
+        args.append(mask)
+        specs.append(P(*(None,) * mask.ndim))  # replicated
+
+    def body(q, k, v, *rest):
+        return _ring_body(axis, scale)(q, k, v, mask=rest[0] if rest else None)
+
     fn = jax.shard_map(
-        _ring_body(axis, scale),
+        body,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=tuple(specs),
         out_specs=spec,
     )
 
-    return fn(q, k, v)
+    return fn(*args)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

@@ -8,6 +8,14 @@ attention** over the whole sequence for its subset of heads — which on TPU
 means the measured single-chip path (the Pallas flash kernels or XLA's fused
 attention, whichever the dispatch picks), not a hand-rolled loop.
 
+Because the per-device attention sees the *whole* sequence, masks and dropout
+compose with no extra machinery: a head-broadcast mask (shape :math:`(L, L)`
+or :math:`(B, 1, L, L)`) applies as-is after the reshard, and dropout draws an
+independent key per head-shard (`fold_in` of the device's axis index) — the
+exact semantics of single-device attention over the same head partition. This
+is the supported SP path for masked/dropout attention; ring attention supports
+masks (sliced per hop) but rejects dropout (see :mod:`azula_tpu.parallel.ring`).
+
 Trade-offs vs ring attention (both exact):
 
 - Ulysses moves :math:`3 L_\mathrm{local} \cdot C` bytes per device twice
@@ -43,8 +51,8 @@ from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _ulysses_body(axis_name: str, scale: float):
-    def local_attention(q: Array, k: Array, v: Array) -> Array:
+def _ulysses_body(axis_name: str, scale: float, dropout_rate: float = 0.0):
+    def local_attention(q: Array, k: Array, v: Array, mask=None, key=None) -> Array:
         from ..ops.attention import dot_product_attention
 
         n = jax.lax.psum(1, axis_name)
@@ -56,6 +64,13 @@ def _ulysses_body(axis_name: str, scale: float):
                 f"'{axis_name}' axis size ({n}); use ring attention otherwise."
             )
 
+        if mask is not None and mask.ndim >= 3 and mask.shape[-3] != 1:
+            raise ValueError(
+                "Ulysses attention requires a head-broadcast mask — shape "
+                "(L, L) or (*, 1, L, L) — since heads are sharded during the "
+                f"attention product; got {mask.shape}."
+            )
+
         def gather_seq(x):
             # (B, H, L_local, D) -> (B, H / n, L, D): scatter heads, gather
             # sequence — one all_to_all on the ICI.
@@ -63,7 +78,20 @@ def _ulysses_body(axis_name: str, scale: float):
 
         q, k, v = gather_seq(q), gather_seq(k), gather_seq(v)
 
-        o = dot_product_attention(q, k, v, scale=scale)
+        if key is not None and dropout_rate > 0:
+            # An independent key per head-shard: the same semantics as a
+            # single device running these heads with this key.
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        o = dot_product_attention(
+            q,
+            k,
+            v,
+            mask=mask,
+            dropout_rate=dropout_rate if key is not None else 0.0,
+            key=key,
+            scale=scale,
+        )
 
         # (B, H / n, L, D) -> (B, H, L_local, D): back to sequence shards
         return jax.lax.all_to_all(o, axis_name, split_axis=2, concat_axis=1, tiled=True)
@@ -77,6 +105,9 @@ def ulysses_attention_local(
     v: Array,
     axis: str,
     scale: float | None = None,
+    mask: Array | None = None,
+    dropout_rate: float = 0.0,
+    key: Array | None = None,
 ) -> Array:
     r"""Ulysses attention on *local shards*, for use inside an enclosing
     `shard_map` whose ``axis`` shards the sequence dimension.
@@ -93,6 +124,11 @@ def ulysses_attention_local(
         v: Local values, same shape.
         axis: The manual-mesh axis name carrying the sequence shards.
         scale: Logit scale; defaults to :math:`1/\sqrt{D}`.
+        mask: An optional head-broadcast boolean mask over the *global*
+            sequence, with shape :math:`(L, L)` or :math:`(*, 1, L, L)`,
+            replicated across the ``axis`` shards.
+        dropout_rate: Attention-weight dropout probability.
+        key: A PRNG key (replicated across shards); required for dropout.
 
     Returns:
         The local attention output, with shape :math:`(B, H, L_\mathrm{local}, D)`.
@@ -101,7 +137,7 @@ def ulysses_attention_local(
     if scale is None:
         scale = 1 / math.sqrt(q.shape[-1])
 
-    return _ulysses_body(axis, scale)(q, k, v)
+    return _ulysses_body(axis, scale, dropout_rate)(q, k, v, mask=mask, key=key)
 
 
 def ulysses_attention(
@@ -111,6 +147,9 @@ def ulysses_attention(
     mesh: Mesh,
     axis: str = "data",
     scale: float | None = None,
+    mask: Array | None = None,
+    dropout_rate: float = 0.0,
+    key: Array | None = None,
 ) -> Array:
     r"""Computes exact attention with the sequence axis sharded over the mesh,
     resharding to head parallelism with `all_to_all` (DeepSpeed-Ulysses).
@@ -122,6 +161,10 @@ def ulysses_attention(
         mesh: The device mesh.
         axis: The mesh axis name carrying the sequence shards.
         scale: Logit scale; defaults to :math:`1/\sqrt{D}`.
+        mask: An optional head-broadcast boolean mask, shape :math:`(L, L)` or
+            :math:`(*, 1, L, L)`, replicated over the mesh.
+        dropout_rate: Attention-weight dropout probability.
+        key: A PRNG key; required for dropout.
 
     Returns:
         The attention output, sequence-sharded like the inputs.
@@ -132,11 +175,28 @@ def ulysses_attention(
 
     spec = P(None, None, axis, None)
 
+    args = [q, k, v]
+    specs = [spec, spec, spec]
+    has_mask, has_key = mask is not None, key is not None
+
+    if has_mask:
+        args.append(mask)
+        specs.append(P(*(None,) * mask.ndim))  # replicated
+    if has_key:
+        args.append(key)
+        specs.append(P())
+
+    def body(q, k, v, *rest):
+        it = iter(rest)
+        m = next(it) if has_mask else None
+        kk = next(it) if has_key else None
+        return _ulysses_body(axis, scale, dropout_rate)(q, k, v, mask=m, key=kk)
+
     fn = jax.shard_map(
-        _ulysses_body(axis, scale),
+        body,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=tuple(specs),
         out_specs=spec,
     )
 
-    return fn(q, k, v)
+    return fn(*args)

@@ -157,3 +157,29 @@ def test_group_norm_matches_reference_semantics(groups, channels, key):
     ref = ref.permute(0, 2, 3, 1).numpy()
 
     assert jnp.allclose(ours, ref, atol=1e-5)
+
+
+def test_group_stats_guarded_contract(key):
+    r"""The guarded-raw statistics keep raw's exactness at sane activation
+    scales and rescue the variance (within the documented subsample error)
+    in the pathological |mean| >> std regime where raw cancels totally."""
+
+    from azula_tpu.ops.norm import _stats_twopass, group_stats
+
+    B, HW, C, G = 2, 65536, 128, 8
+
+    # Sane scale: raw branch, near-exact.
+    x = 10.0 + 2.0 * jax.random.normal(key, (B, HW, C))
+    m, v = group_stats(x, G, "guarded")
+    mr, vr = _stats_twopass(x, G)
+    assert jnp.max(jnp.abs(m - mr)) < 1e-4
+    assert jnp.max(jnp.abs(v - vr) / vr) < 1e-3
+
+    # Pathological: raw would produce garbage (its var error is O(mean^2 eps)
+    # = O(1) here, against a true var of 0.01); guarded must stay within the
+    # documented subsample tolerance.
+    x = 4096.0 + 0.1 * jax.random.normal(key, (B, HW, C))
+    m, v = group_stats(x, G, "guarded")
+    mr, vr = _stats_twopass(x, G)
+    assert jnp.max(jnp.abs(m - mr)) < 1e-2
+    assert jnp.max(jnp.abs(v - vr) / vr) < 0.05

@@ -511,12 +511,14 @@ def test_group_stats_production_shapes(B, HW, C, eligible, key):
 
     mean_ref, var_ref = _stats_twopass(x, groups)
 
-    for impl in ("pallas", "auto"):
+    # The kernel centers exactly (1e-4 var budget); auto's guarded-raw branch
+    # carries the documented ~(mean/std)^2 * eps relative error (~3e-4 here).
+    for impl, var_tol in (("pallas", 1e-4), ("auto", 2e-3)):
         mean, var = jax.jit(group_stats, static_argnums=(1, 2))(x, groups, impl)
 
         assert mean.shape == var.shape == (B, groups)
         assert float(jnp.max(jnp.abs(mean - mean_ref))) < 1e-3, impl
-        assert float(jnp.max(jnp.abs(var - var_ref) / (jnp.abs(var_ref) + 1e-6))) < 1e-4, impl
+        assert float(jnp.max(jnp.abs(var - var_ref) / (jnp.abs(var_ref) + 1e-6))) < var_tol, impl
 
 
 @requires_tpu
@@ -608,3 +610,34 @@ def test_kernel_families_smoke(key):
     # Same budget as test_fused_msa_matches_reference at fp32 (5e-3): the
     # kernel's exp/softmax runs at a slightly different accumulation order.
     assert float(jnp.max(jnp.abs(got - want))) < 5e-3
+
+
+@requires_tpu
+@pytest.mark.tpu_kernels
+def test_fused_gn_kernel_production_shape(key):
+    r"""The two-phase fused GroupNorm kernel (stats + modulated affine + SiLU
+    in one pallas_call) matches the XLA path at the flagship ADM stage shape,
+    with AdaLN-style modulation, within bf16 output rounding."""
+
+    from azula_tpu.ops.norm import group_norm, group_norm_silu
+
+    B, HW, C, G = 2, 65536, 256, 32
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    x = (10.0 + 3.0 * jax.random.normal(k1, (B, HW, C))).astype(jnp.bfloat16)
+    scale = 1.0 + 0.1 * jax.random.normal(k2, (C,))
+    bias = 0.1 * jax.random.normal(k3, (C,))
+    ms = 0.1 * jax.random.normal(k4, (B, C))
+    mt = 0.1 * jax.random.normal(k5, (B, C))
+
+    for fn in (group_norm, group_norm_silu):
+        args = dict(scale=scale, bias=bias, mod_scale=ms, mod_shift=mt)  # noqa: C408
+        y_kernel = jax.jit(
+            lambda x, fn=fn, args=args: fn(x, G, implementation="pallas", **args)
+        )(x)
+        y_xla = jax.jit(lambda x, fn=fn, args=args: fn(x, G, **args))(x)
+
+        # Outputs are bf16; the two paths round their (f32-exact) statistics
+        # differently, so allow a couple of output ulps at |y| ~ 4.
+        err = jnp.max(jnp.abs(y_kernel.astype(jnp.float32) - y_xla.astype(jnp.float32)))
+        assert float(err) < 0.1, (fn.__name__, float(err))

@@ -125,3 +125,31 @@ def test_dit_sequence_parallel_forward_and_grads(devices, key):
 
     for a, b in zip(jax.tree.leaves(g_ring), jax.tree.leaves(g_full)):
         assert jnp.allclose(jax.device_get(a), b, atol=1e-4)
+
+
+def test_ring_attention_mask(devices, key):
+    r"""A replicated global boolean mask (causal + a padding row band) sliced
+    per hop matches single-device masked attention (SP hardening, VERDICT r3
+    #10)."""
+
+    mesh = make_mesh(model=1)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, L, D = 2, 4, 64, 16
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    causal = jnp.tril(jnp.ones((L, L), dtype=bool))
+    mask = causal.at[:, 50:].set(False)  # also mask a key band
+
+    ref = _xla_attention(q, k, v, mask=mask)
+    out = ring_attention(q, k, v, mesh, mask=mask)
+
+    assert jnp.allclose(ref, jax.device_get(out), atol=1e-5)
+
+    # Gradients flow through the masked ring
+    g = jax.grad(lambda q: jnp.sum(ring_attention(q, k, v, mesh, mask=mask) ** 2))(q)
+    g_ref = jax.grad(lambda q: jnp.sum(_xla_attention(q, k, v, mask=mask) ** 2))(q)
+    assert jnp.allclose(jax.device_get(g), g_ref, atol=1e-4)

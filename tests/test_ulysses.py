@@ -131,3 +131,50 @@ def test_dit_sequence_parallel_ulysses(devices, key):
 
     for a, b in zip(jax.tree.leaves(g_uly), jax.tree.leaves(g_full)):
         assert jnp.allclose(jax.device_get(a), b, atol=1e-4)
+
+
+def test_ulysses_attention_mask(devices, key):
+    r"""A replicated head-broadcast mask applies exactly after the head
+    reshard (SP hardening, VERDICT r3 #10)."""
+
+    mesh = make_mesh(model=1)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    B, H, L, D = 2, 8, 64, 16
+
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    mask = jnp.tril(jnp.ones((L, L), dtype=bool))
+
+    ref = _xla_attention(q, k, v, mask=mask)
+    out = ulysses_attention(q, k, v, mesh, mask=mask)
+
+    assert jnp.allclose(ref, jax.device_get(out), atol=1e-5)
+
+
+def test_ulysses_attention_dropout(devices, key):
+    r"""Dropout composes with Ulysses: finite output, exact at rate ~0, and
+    actually stochastic at a real rate (per-shard key fold)."""
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    mesh = make_mesh(model=1)
+
+    B, H, L, D = 2, 8, 64, 16
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    # rate ~ 0: equals the deterministic result
+    out0 = ulysses_attention(q, k, v, mesh, dropout_rate=1e-12, key=k4)
+    ref = _xla_attention(q, k, v)
+    assert jnp.allclose(jax.device_get(out0), ref, atol=1e-4)
+
+    # a real rate: finite, different from deterministic, reproducible per key
+    out = ulysses_attention(q, k, v, mesh, dropout_rate=0.5, key=k4)
+    assert jnp.all(jnp.isfinite(jax.device_get(out)))
+    assert not jnp.allclose(jax.device_get(out), ref, atol=1e-3)
+    out_again = ulysses_attention(q, k, v, mesh, dropout_rate=0.5, key=k4)
+    assert jnp.allclose(jax.device_get(out), jax.device_get(out_again))

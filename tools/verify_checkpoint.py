@@ -17,6 +17,17 @@ strict two-way conversion (missing keys raise by name, unconsumed keys fail):
 .. code-block:: console
 
     PYTHONPATH=. python tools/verify_checkpoint.py edm cifar10_32x32 model edm-cifar10-32x32-uncond-ve.pkl
+
+Numerics contract (`--digest` / `--check`): beyond key -> shape, a digest JSON
+records per-tensor (mean, std) of the raw checkpoint and — for families with a
+self-contained backbone build (adm) — end-to-end denoiser activations on fixed
+probe inputs, so real fp16/bf16 weight numerics are pinned, not just topology
+(reference load path: `azula/plugins/adm/__init__.py:139-161`):
+
+.. code-block:: console
+
+    PYTHONPATH=. python tools/verify_checkpoint.py adm imagenet_64x64_cond model ckpt.pt --digest digests/adm_64.json
+    PYTHONPATH=. python tools/verify_checkpoint.py adm imagenet_64x64_cond model ckpt.pt --check digests/adm_64.json
 """
 
 import sys
@@ -49,12 +60,106 @@ CANONICALIZERS = {
 }
 
 
+def _build_adm(card_name: str, state) -> tuple:
+    r"""Constructs the ADM denoiser from a local state dict (the load_model
+    path minus the download), returning (probe_fn, probe_shape)."""
+
+    import jax.numpy as jnp
+
+    from azula_tpu.models.adm import discrete_sigmas, make_model
+    from azula_tpu.models.adm.convert import convert_state_dict
+    from azula_tpu.models.utils import load_cards
+    from azula_tpu.utils.pytree import filter_eval_shape, load_state_dict
+
+    config = dict(load_cards("azula_tpu.models.adm")[card_name].config)
+
+    denoiser = filter_eval_shape(make_model, **config)
+    backbone = load_state_dict(
+        denoiser.backbone, convert_state_dict(denoiser.backbone, state)
+    )
+    sigmas = jnp.asarray(
+        discrete_sigmas(
+            config.get("discrete_schedule", "linear"),
+            config.get("discrete_steps", 1000),
+        ),
+        dtype=jnp.float32,
+    )
+    denoiser = denoiser.tree_replace(backbone=backbone, sigmas=sigmas)
+
+    size = config.get("image_size", 64)
+    label = None
+    if config.get("num_classes"):
+        label = jnp.zeros((1,), dtype=jnp.int32)
+
+    def probe(x, t):
+        return denoiser(x, t, label=label).mean
+
+    return probe, (1, size, size, config.get("image_channels", 3))
+
+
+def digest_document(family: str, card: str, component: str, sd) -> dict:
+    from azula_tpu.models.utils import activation_digest, weight_digest
+
+    doc = {
+        "family": family,
+        "card": card,
+        "component": component,
+        "weights": weight_digest(sd),
+    }
+
+    if family == "adm" and component == "model":
+        probe, shape = _build_adm(card, sd)
+        doc["activations"] = activation_digest(probe, {"x": shape})
+
+    return doc
+
+
 def main() -> int:
-    if len(sys.argv) < 5:
+    argv = sys.argv[1:]
+
+    digest_out = check_path = None
+    if "--digest" in argv:
+        i = argv.index("--digest")
+        digest_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--check" in argv:
+        i = argv.index("--check")
+        check_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+
+    if len(argv) < 4:
         print(__doc__)
         return 2
 
-    family, card, component, *paths = sys.argv[1:]
+    family, card, component, *paths = argv
+
+    if digest_out or check_path:
+        import json
+
+        sd = load(paths)
+        doc = digest_document(family, card, component, sd)
+
+        if digest_out:
+            with open(digest_out, "w") as f:
+                json.dump(doc, f, indent=1, sort_keys=True)
+            print(f"digest written: {digest_out} ({len(doc['weights'])} tensors"
+                  + (f", {len(doc['activations'])} probes)" if "activations" in doc else ")"))
+            return 0
+
+        from azula_tpu.models.utils import compare_digests
+
+        with open(check_path) as f:
+            want = json.load(f)
+
+        diffs = compare_digests(doc, want)
+        if diffs:
+            for d in diffs[:20]:
+                print(d)
+            print(f"digest MISMATCH: {len(diffs)} differences")
+            return 1
+
+        print(f"ok: digest matches {check_path}")
+        return 0
 
     if family in ("edm", "eldm"):
         import importlib
