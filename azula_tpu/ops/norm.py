@@ -9,26 +9,33 @@ provide the channels-last group-norm used by the UNet and the ADM port.
 Statistics implementations, all robust to |mean| >> std (the raw
 E[x^2] - E[x]^2 fold cancels catastrophically in float32 — ADVICE r2):
 
-- ``auto`` (default) = ``pilot``: a single XLA pass computing *shifted*
-  moments, where the shift is a per-channel pilot row (the first spatial
-  element). The shift identity is exact for any shift, and every term stays
-  O(n * var). This is the principled default: exact statistics at every
-  activation scale, at a measured ~5.5% flagship cost (below).
-- ``raw``: the one-pass E[x^2] - E[x]^2 fold. Fastest by construction — as a
-  pure reduction of an elementwise map it fuses into the *producer* op's
-  epilogue, so in model code the statistics are nearly free — but its
-  variance dies below ~eps * mean^2 (the ADVICE-r2 failure). Opt-in for
-  users who know their activation scales (|mean|/std < ~300 keeps the
-  relative variance error under 1e-2 * eps * (mean/std)^2 ~ 5e-4).
+- ``auto`` (default) = ``lazy``: the raw one-pass fold plus a *lazy* exact
+  rescue. The raw reductions are pure maps of ``x``, so XLA fuses them into
+  the producer op's epilogue and the statistics are nearly free; the mean is
+  always exact. The raw variance is accepted only when every group clears a
+  conservative cancellation floor (``var > 1e-3 * mean^2``, i.e.
+  |mean|/std < ~32, keeping its relative error under ~1e-3); otherwise a
+  `lax.cond` branch re-reads ``x`` once and computes the centered second
+  moment about the exact mean. Typical model activations never trigger the
+  rescue, so the default runs at raw speed with a worst case of two-pass
+  cost and two-pass accuracy.
+- ``raw``: the bare one-pass E[x^2] - E[x]^2 fold. Fastest by construction,
+  but its variance dies below ~eps * mean^2 (the ADVICE-r2 failure). Opt-in
+  for users who know their activation scales.
+- ``pilot``: a single XLA pass computing *shifted* moments, where the shift
+  is a per-channel pilot row (the first spatial element). The shift identity
+  is exact for any shift and every term stays O(n * var) — exact at every
+  activation scale in one read — but the x-dependent shift operand breaks
+  the producer fusion that makes raw/lazy free in model code.
 
   The full r4 on-chip bisect (BENCH_NOTES): adm256 DDIM-64 runs 1.133 img/s
-  with raw, 1.07 with pilot (the x-dependent shift operand breaks the
-  producer fusion), 0.962 with a raw+subsample-guard hybrid (the strided
-  subsample wrecks fusion outright), 0.94 with the Pallas stats kernel (a
-  pallas_call can never fuse with an XLA producer), and an in-chain
-  conv->gn_silu->conv micro puts even a fully fused two-phase Pallas kernel
-  (2 reads + 1 write) at 9.7 ms vs raw's 7.6 ms. Exactness costs 5.5% end to
-  end, and the default pays it.
+  with raw, 1.07 with pilot, 0.962 with a raw+subsample-guard hybrid (the
+  strided subsample wrecks fusion outright), 0.94 with the Pallas stats
+  kernel (a pallas_call can never fuse with an XLA producer), and an
+  in-chain conv->gn_silu->conv micro puts even a fully fused two-phase
+  Pallas kernel (2 reads + 1 write) at 9.7 ms vs raw's 7.6 ms. ``lazy``
+  keeps raw's fusion (its rescue branch is never taken at model scales)
+  while restoring exactness where raw would cancel.
 - ``guarded``: raw plus a noise-floor detector with a strided-subsample
   rescue — kept for reference; measured both slower than pilot in-model and
   weaker than it numerically, so never dispatched automatically.
@@ -60,6 +67,7 @@ __all__ = [
 ]
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -168,6 +176,84 @@ def _stats_guarded(x: Array, groups: int, stride: int = 16) -> tuple[Array, Arra
     return mean, jnp.maximum(var, 0.0)
 
 
+def _stats_raw(x: Array, groups: int) -> tuple[Array, Array]:
+    r"""One-pass raw moments (module docstring): fastest, cancellation-prone."""
+
+    B, HW, C = x.shape
+    n = HW * (C // groups)
+
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=1)
+    s2 = jnp.sum(jnp.square(xf), axis=1)
+    mean = jnp.sum(s1.reshape(B, groups, -1), axis=-1) / n
+    g2 = jnp.sum(s2.reshape(B, groups, -1), axis=-1)
+
+    return mean, jnp.maximum(g2 / n - jnp.square(mean), 0.0)
+
+
+# Rescue threshold for the lazy fold: recompute exactly whenever any group has
+# var <= RESCUE * mean^2, i.e. |mean|/std >= ~32. Every *accepted* raw variance
+# then has relative error <= ~log2(n) * eps * (1 + 1/RESCUE) ~ 1e-3 worst case
+# (f32 tree-reduction bound), and in the diffusion model zoo the rescue branch
+# never fires in practice (GroupNorm inputs are conv outputs with O(1)
+# mean/std ratios), so the common-case cost is exactly the raw fold.
+_RESCUE_FLOOR = 1e-3
+
+# What 'auto' resolves to. The env override exists for benchmarking bisects
+# and for users who have pinned their activation scales (e.g. via the digest
+# contract) and want the bare raw fold.
+_AUTO_IMPL = os.environ.get("AZULA_GN_STATS", "lazy")
+
+
+# Below this input size the adaptive lazy fold uses the pilot-shifted pass
+# instead of raw + `lax.cond`: a TPU conditional costs ~30 us regardless of
+# size, while pilot's only cost is one unfused read of the input — at v5e-class
+# HBM bandwidth (~800 GB/s) the two break even around 24 MB. Measured on the
+# flagship: per-site conds at ~90 ADM GN sites cost 2.6 ms/step (2.3%); the
+# cutoff keeps conds only at the handful of large-spatial sites where they
+# protect real bandwidth.
+_LAZY_MIN_BYTES = int(os.environ.get("AZULA_GN_LAZY_MIN_BYTES", 1 << 24))
+
+
+def _stats_lazy(x: Array, groups: int) -> tuple[Array, Array]:
+    r"""Adaptive exact statistics (see module docstring).
+
+    Large inputs: raw fused moments with a *lazy* exact rescue. The raw fold
+    runs first — a pure reduction of ``x``, so XLA fuses it into the producer
+    op's epilogue and the statistics are nearly free. The mean is always exact
+    (no cancellation in a plain sum); the variance is kept only if every group
+    clears its float32 cancellation floor. Otherwise a `lax.cond` branch
+    re-reads ``x`` once and computes the centered second moment about the
+    (exact) raw mean — so pathological scales pay one extra HBM read, and
+    typical model code pays nothing.
+
+    Small inputs (below ``_LAZY_MIN_BYTES``): the pilot-shifted single pass —
+    exact at any scale with no conditional, because a TPU `cond`'s fixed
+    ~30 us dispatch exceeds the cost of simply re-reading a small array.
+
+    Under `vmap`, `lax.cond` degrades to `select` (both branches execute):
+    still exact, at two-pass cost.
+    """
+
+    if x.size * x.dtype.itemsize < _LAZY_MIN_BYTES:
+        return _stats_pilot(x, groups)
+
+    mean, var_raw = _stats_raw(x, groups)
+
+    B, HW, C = x.shape
+    n = HW * (C // groups)
+
+    def rescue(mean):
+        mc = jnp.repeat(mean, C // groups, axis=-1)[:, None, :]  # (B, 1, C)
+        d2 = jnp.sum(jnp.square(x.astype(jnp.float32) - mc), axis=1)  # (B, C)
+        return jnp.maximum(jnp.sum(d2.reshape(B, groups, -1), axis=-1) / n, 0.0)
+
+    ok = jnp.all(var_raw > _RESCUE_FLOOR * jnp.square(mean))
+    var = jax.lax.cond(ok, lambda m: var_raw, rescue, mean)
+
+    return mean, var
+
+
 def _stats_block(HW: int, C: int) -> int | None:
     r"""Spatial tile size: large enough to amortize the grid, small enough
     that the bf16 tile plus its float32 image fit comfortably in VMEM.
@@ -254,18 +340,17 @@ def stats_kernel_eligible(shape: tuple[int, ...]) -> bool:
 
 
 def _stats_fwd_impl(x: Array, groups: int, implementation: str) -> tuple[Array, Array]:
-    if implementation == "auto" or implementation == "pilot":
+    if implementation == "auto":
+        implementation = _AUTO_IMPL
+
+    if implementation == "lazy":
+        return _stats_lazy(x, groups)
+
+    if implementation == "pilot":
         return _stats_pilot(x, groups)
 
     if implementation == "raw":
-        B, HW, C = x.shape
-        n = HW * (C // groups)
-        xf = x.astype(jnp.float32)
-        s1 = jnp.sum(xf, axis=1)
-        s2 = jnp.sum(jnp.square(xf), axis=1)
-        mean = jnp.sum(s1.reshape(B, groups, -1), axis=-1) / n
-        g2 = jnp.sum(s2.reshape(B, groups, -1), axis=-1)
-        return mean, jnp.maximum(g2 / n - jnp.square(mean), 0.0)
+        return _stats_raw(x, groups)
 
     if implementation == "guarded":
         return _stats_guarded(x, groups)
@@ -298,9 +383,10 @@ def group_stats(
     Arguments:
         x: The input, with shape :math:`(B, HW, C)`.
         groups: The number of groups :math:`G` (must divide :math:`C`).
-        implementation: One of ``'auto'`` (= ``'pilot'``, exact and best
-            end-to-end among the robust folds), ``'raw'`` (fastest, opt-in,
-            cancellation-prone — module docstring), ``'guarded'``,
+        implementation: One of ``'auto'`` (= ``'lazy'``: raw-speed fused fold
+            with a `lax.cond` exact rescue below the cancellation floor),
+            ``'raw'`` (fastest, opt-in, cancellation-prone), ``'pilot'``
+            (exact in one read, breaks producer fusion), ``'guarded'``,
             ``'pallas'`` (best standalone on TPU; falls back off-TPU or on
             uncovered shapes), ``'twopass'``. See the module docstring for
             the measurements behind the default.
@@ -472,7 +558,7 @@ def _gn_fused_tpu(
 def _gn_fused_xla(
     x: Array, P: Array, Q: Array, groups: int, eps: float, silu: bool
 ) -> Array:
-    mean, var = group_stats(x, groups)  # (B, G) f32, robust pilot fold
+    mean, var = group_stats(x, groups)  # (B, G) f32, lazy fold (module docstring)
     inv = jax.lax.rsqrt(var + eps)
 
     inv_c = jnp.repeat(inv, x.shape[-1] // groups, axis=-1)[:, None, :]  # (B, 1, C)
