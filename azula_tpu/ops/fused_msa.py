@@ -173,6 +173,23 @@ def _kernel_call(qkv, cos2, sin2, heads, eps, scale):
     # as the bound is moderate. exp(30) * L < 1e17 — comfortably inside f32.
     nomax = eps is not None and scale * C / heads <= 30.0
 
+    # Head-pair packing (r4 roofline fix): at D = 64 every per-head matmul
+    # contracts over 64 (half the 128-deep MXU) or emits 64 lanes (half the
+    # VPU/store width). Processing heads in PAIRS as lane-aligned (L, 128)
+    # tiles restores full width everywhere:
+    #
+    #   logits = q01 (L, 128) @ [k0 | 0; 0 | k1] (2L, 128)^T -> (L, 2L)
+    #
+    # where the block-diagonal key stack (two lane-mask multiplies + a
+    # sublane concat) kills the cross-head terms, so the packed contraction
+    # is exact per head. PV runs as p (L, 2L) @ [v0 | 0; 0 | v1] (2L, 128)
+    # -> (L, 128): one full-width op per pair instead of two half-width ones.
+    # Same matmul FLOP-time as the half-depth pair, but half the op count and
+    # full-lane VPU passes — measured 1.67 -> 1.36 ms/call harness-inclusive
+    # on the dit32 block (tools/fused_msa_paired.py), ~1.9x on kernel time.
+    R = 2 if (D == 64 and heads % 2 == 0) else 1
+    W = R * D
+
     def kernel(*refs):
         refs = list(refs)
         qkv_ref = refs.pop(0)
@@ -186,10 +203,101 @@ def _kernel_call(qkv, cos2, sin2, heads, eps, scale):
             # lane rolls on the VPU (measured: rolls+select lost ~5% e2e).
             # A 0/1 selection matrix is exact in every dtype; native-dtype
             # operands keep the MXU in single-pass mode (HIGHEST on f32
-            # operands would cost 6 passes).
-            i = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
-            j = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+            # operands would cost 6 passes). The even/odd swap never crosses
+            # a head boundary (D is even), so one (W, W) matrix serves the
+            # packed tile as well.
+            i = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
             P = ((i ^ 1) == j).astype(qkv.dtype)
+
+        if R > 1:
+            # Lane masks selecting each head's D-lane half of a packed tile.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (L, W), 1)
+            masks = [((lane // D) == r).astype(qkv.dtype) for r in range(R)]
+            if eps is not None:
+                # Mean-over-own-head-lanes operator: one MXU op computes both
+                # heads' per-row mean squares, replicated across each lane
+                # half (so the fold factors below are plain lane slices).
+                mi = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+                mj = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+                mavg = ((mi // D) == (mj // D)).astype(jnp.float32) / D
+
+        def packed(xb, g, pk):
+            c0 = pk * W
+            qp = xb[:, c0 : c0 + W]  # (L, W) = [q0 | q1]
+            kp = xb[:, C + c0 : C + c0 + W]
+            vp = xb[:, 2 * C + c0 : 2 * C + c0 + W]
+
+            if eps is not None:
+                rq = jax.lax.rsqrt(
+                    jax.lax.dot_general(
+                        jnp.square(qp.astype(jnp.float32)), mavg,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + eps
+                )  # (L, W), constant within each lane half
+                rk = jax.lax.rsqrt(
+                    jax.lax.dot_general(
+                        jnp.square(kp.astype(jnp.float32)), mavg,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + eps
+                )
+
+            if rope:
+                cp = c_ref[0][:, c0 : c0 + W]
+                sp = s_ref[0][:, c0 : c0 + W]
+                prec = None if not f32 else jax.lax.Precision.HIGHEST
+                swap_q = jnp.dot(qp, P, preferred_element_type=jnp.float32, precision=prec)
+                swap_k = jnp.dot(kp, P, preferred_element_type=jnp.float32, precision=prec)
+                qp = (qp.astype(jnp.float32) * cp + swap_q * sp).astype(qkv.dtype)
+                kp = (kp.astype(jnp.float32) * cp + swap_k * sp).astype(qkv.dtype)
+
+            bd_k = jnp.concatenate([kp * m for m in masks], axis=0)  # (R L, W)
+            logits = jax.lax.dot_general(
+                qp, bd_k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (L, R L) = [q0 k0^T | q1 k1^T]
+
+            ps, ds = [], []
+            for r in range(R):
+                lr = logits[:, r * L : (r + 1) * L]
+                if eps is not None:
+                    lr = (lr * (scale * rq[:, r * D : r * D + 1])) * rk[
+                        :, r * D : r * D + 1
+                    ].reshape(1, L)
+                else:
+                    lr = lr * scale
+                if nomax:
+                    pr = jnp.exp(lr)
+                else:
+                    pr = jnp.exp(lr - jnp.max(lr, axis=-1, keepdims=True))
+                dr = jnp.sum(pr, axis=-1, keepdims=True)
+                ps.append((pr / dr) if f32 else pr)
+                ds.append(dr)
+
+            p = jnp.concatenate(ps, axis=1).astype(vp.dtype)  # (L, R L)
+            bd_v = jnp.concatenate([vp * m for m in masks], axis=0)  # (R L, W)
+            o = jax.lax.dot_general(
+                p, bd_v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (L, W) = [o0 | o1]
+
+            if not f32:
+                dinv = jnp.concatenate(
+                    [jnp.broadcast_to(d, (L, D)) for d in ds], axis=1
+                )
+                o = o / dinv
+            o_ref[g, :, c0 : c0 + W] = o.astype(o_ref.dtype)
+
+        if R > 1:
+            for g in range(G):
+                xb = qkv_ref[g]  # (L, 3C)
+                for pk in range(heads // R):
+                    packed(xb, g, pk)
+            return
 
         for g in range(G):
             xb = qkv_ref[g]  # (L, 3C)

@@ -126,9 +126,9 @@ def _dit32(key):
 
     Bar: 12.33 GF per forward (XLA cost analysis) x 64 steps = 789 GF/image;
     A100 bf16 at 40% MFU (125 TF/s) -> ~158 img/s. Measured on v5e:
-    110.8 img/s = 87 TF/s = 44% MFU — *above* the 40% the bar assumes; the
-    0.70x ratio is the v5e/A100 peak-FLOPs gap (197 vs 312), not efficiency
-    (the XLA-attention dispatch fix took this from 63.6 to 110.8 img/s).
+    178.6 img/s = 141 TF/s = ~70% MFU (r4, head-pair packed fused MSA —
+    BENCH_NOTES.md; the r3 XLA-attention dispatch fix took this from 63.6 to
+    110.8, the fused MSA kernel to 135.2, and full-width MXU packing to 178.6).
     """
 
     from azula_tpu.denoise import KarrasDenoiser
