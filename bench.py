@@ -219,13 +219,17 @@ def _train32() -> dict:
     opt_state = optimizer.init(params)
 
     B = 256
-    steps = 20
+    steps = 100
     x = jax.random.normal(jax.random.key(1), (B, 32, 32, 3))
     t = jax.random.uniform(jax.random.key(2), (B,))
 
     # The epoch scans the step on-device (the standard TPU training-loop
     # shape): host dispatch through the remote-TPU transport costs tens of ms
-    # per call, which would otherwise dominate this sub-30ms step.
+    # per call, which would otherwise dominate this sub-30ms step. 100 steps
+    # per dispatch reports steady-state throughput — the r4 breakdown
+    # (BENCH_NOTES.md) measured the *device* step at 2.98x a forward, exactly
+    # the idealized 3x the bar assumes, with the residual ~2 ms/step at 20
+    # steps/dispatch being the relay's fixed per-call cost, not device work.
     @jax.jit
     def epoch(params, opt_state, x, t, key):
         def body(carry, k):
