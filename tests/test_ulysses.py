@@ -178,3 +178,52 @@ def test_ulysses_attention_dropout(devices, key):
     assert not jnp.allclose(jax.device_get(out), ref, atol=1e-3)
     out_again = ulysses_attention(q, k, v, mesh, dropout_rate=0.5, key=k4)
     assert jnp.allclose(jax.device_get(out), jax.device_get(out_again))
+
+
+def test_ulysses_tp_composition(devices, key):
+    r"""SP composes with TP on a 2D (seq, tp) mesh: heads tensor-parallel over
+    'tp', sequence Ulysses-sharded over 'seq' — the all_to_all rides only the
+    seq axis within each tp shard, and the result matches single-device
+    attention (VERDICT r3 #10)."""
+
+    import numpy as np
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from azula_tpu.parallel.ulysses import ulysses_attention_local
+
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    seq, tp = 2, 4
+    mesh = Mesh(np.asarray(devices[: seq * tp]).reshape(seq, tp), ("seq", "tp"))
+
+    B, H, L, D = 2, 2 * tp, 8 * seq, 16  # 2 heads per tp shard, divisible by seq
+    q = jax.random.normal(k1, (B, H, L, D))
+    k = jax.random.normal(k2, (B, H, L, D))
+    v = jax.random.normal(k3, (B, H, L, D))
+
+    spec = P(None, "tp", "seq", None)
+    out = jax.shard_map(
+        lambda q, k, v: ulysses_attention_local(q, k, v, axis="seq"),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+    )(q, k, v)
+
+    ref = _xla_attention(q, k, v)
+    assert jnp.allclose(jax.device_get(out), ref, atol=1e-5)
+
+    # Gradients flow through the composed mesh
+    g = jax.grad(
+        lambda q: jnp.sum(
+            jax.shard_map(
+                lambda q, k, v: ulysses_attention_local(q, k, v, axis="seq"),
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+            )(q, k, v)
+            ** 2
+        )
+    )(q)
+    g_ref = jax.grad(lambda q: jnp.sum(_xla_attention(q, k, v) ** 2))(q)
+    assert jnp.allclose(jax.device_get(g), g_ref, atol=1e-4)

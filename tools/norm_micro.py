@@ -115,13 +115,13 @@ def gn_twopass(x, groups, eps=1e-5):
 
 
 def gn_lazy(x, groups, eps=1e-5):
-    r"""The shipped path (`ops/norm.py`): on TPU at aligned shapes, a Pallas
-    VMEM-resident two-pass kernel; elsewhere, the XLA two-pass fallback."""
+    r"""The shipped default (`ops/norm.py` 'lazy'): raw fused moments with a
+    `lax.cond` exact rescue above the 16 MB adaptive cutoff, pilot-shifted
+    single pass below it; dispatched through the fused group-norm+SiLU."""
 
-    from azula_tpu.ops.norm import group_norm
+    from azula_tpu.ops.norm import group_norm_silu
 
-    y = group_norm(x, groups, eps=eps)
-    return y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
+    return group_norm_silu(x, groups, eps=eps)
 
 
 VARIANTS = {
