@@ -84,58 +84,70 @@ def stack_modules(modules: Sequence):
 def pipeline_blocks(
     block_fn: Callable,
     params,
-    x: Array,
+    x,
     mesh: Mesh,
     axis: str = "model",
     microbatches: int | None = None,
+    consts=(),
 ):
     r"""Applies a stack of identical blocks to ``x`` as a pipeline over a mesh
     axis.
 
-    Equivalent to ``for i in range(L): x = block_fn(params[i], x)`` with the
-    :math:`L` blocks split into :math:`S` contiguous stages, one per device of
-    the ``axis``.
+    Equivalent to ``for i in range(L): x = block_fn(params[i], x, *consts)``
+    with the :math:`L` blocks split into :math:`S` contiguous stages, one per
+    device of the ``axis``.
 
     Arguments:
-        block_fn: The per-block function ``block_fn(block_params, x) -> x``;
-            must preserve the shape of ``x``.
+        block_fn: The per-block function
+            ``block_fn(block_params, x, *consts) -> x``; must preserve the
+            structure and shapes of ``x``.
         params: A pytree whose array leaves carry a leading block dimension
             :math:`L` (a stacked scan layout), with :math:`L` divisible by the
             axis size.
-        x: The batched input, with shape :math:`(B, *)`; :math:`B` divisible
-            by ``microbatches``.
+        x: The batched input — an array or a pytree of arrays, every leaf with
+            a shared leading batch dimension :math:`B` divisible by
+            ``microbatches``. Non-array per-microbatch state (a modulation
+            vector, a position tensor) rides along as extra pytree leaves and
+            is streamed stage-to-stage with the activation.
         mesh: The device mesh.
         axis: The mesh axis to pipeline over.
         microbatches: The number of microbatches :math:`M` (defaults to the
             axis size). Larger :math:`M` shrinks the pipeline bubble
             :math:`(S-1)/(M+S-1)`.
+        consts: A pytree of arrays shared by every microbatch (e.g. unbatched
+            positions). Replicated to all stages once — never streamed — and
+            passed to ``block_fn`` after the state.
 
     Returns:
-        The output, with shape :math:`(B, *)`, replicated over the axis.
+        The output, matching the structure and shapes of ``x``, replicated
+        over the axis.
     """
 
     S = mesh.shape[axis]
     M = S if microbatches is None else microbatches
 
     L = jax.tree.leaves(params)[0].shape[0]
-    B = x.shape[0]
+    B = jax.tree.leaves(x)[0].shape[0]
 
     assert L % S == 0, f"block count {L} must divide into {S} stages"
     assert B % M == 0, f"batch {B} must divide into {M} microbatches"
+    assert all(a.shape[0] == B for a in jax.tree.leaves(x)), (
+        "all state leaves must share the leading batch dimension"
+    )
 
     # (L, ...) -> (S, L/S, ...): stage-major, contiguous blocks per stage
     staged = jax.tree.map(lambda p: p.reshape(S, L // S, *p.shape[1:]), params)
-    xm = x.reshape(M, B // M, *x.shape[1:])
+    xm = jax.tree.map(lambda a: a.reshape(M, B // M, *a.shape[1:]), x)
 
-    def device_fn(staged, xm):
-        # staged leaves: (1, L/S, ...); xm: (M, B/M, ...)
+    def device_fn(staged, xm, consts):
+        # staged leaves: (1, L/S, ...); xm leaves: (M, B/M, ...)
         s = jax.lax.axis_index(axis)
 
         local = jax.tree.map(lambda p: p[0], staged)
 
         def stage_apply(h):
             def body(h, block):
-                return block_fn(block, h), None
+                return block_fn(block, h, *consts), None
 
             h, _ = jax.lax.scan(body, h, local)
             return h
@@ -148,8 +160,10 @@ def pipeline_blocks(
             # receive the previous stage's activation; stage 0 injects
             # microbatch t instead (the wrap-around value is discarded)
             shifted = jax.lax.ppermute(state, axis, perm)
-            inject = xm[jnp.clip(t, 0, M - 1)]
-            state = jnp.where(s == 0, inject, shifted)
+            mb = jnp.clip(t, 0, M - 1)
+            state = jax.tree.map(
+                lambda inj, sh: jnp.where(s == 0, inj[mb], sh), xm, shifted
+            )
 
             # Stage s holds real data only during ticks s <= t < s + M; skip
             # the block applications on fill/drain garbage (saves ~(S-1)/(M+S-1)
@@ -162,20 +176,24 @@ def pipeline_blocks(
             out_idx = t - (S - 1)
             valid = (s == S - 1) & (out_idx >= 0)
             slot = jnp.clip(out_idx, 0, M - 1)
-            outputs = jnp.where(
-                valid, outputs.at[slot].set(state), outputs
+            outputs = jax.tree.map(
+                lambda o, st: jnp.where(valid, o.at[slot].set(st), o),
+                outputs,
+                state,
             )
 
             return state, outputs
 
         # mark the carries as device-varying (they mix in axis_index/ppermute)
-        state = _pvary(jnp.zeros_like(xm[0]), (axis,))
-        outputs = _pvary(jnp.zeros_like(xm), (axis,))
+        state = jax.tree.map(lambda a: _pvary(jnp.zeros_like(a[0]), (axis,)), xm)
+        outputs = jax.tree.map(lambda a: _pvary(jnp.zeros_like(a), (axis,)), xm)
 
         _, outputs = jax.lax.fori_loop(0, M + S - 1, tick, (state, outputs))
 
         # results live on the last stage; zero elsewhere and psum to replicate
-        outputs = jnp.where(s == S - 1, outputs, jnp.zeros_like(outputs))
+        outputs = jax.tree.map(
+            lambda o: jnp.where(s == S - 1, o, jnp.zeros_like(o)), outputs
+        )
         return jax.lax.psum(outputs, axis)
 
     spec_p = jax.tree.map(lambda _: P(axis), staged)
@@ -183,8 +201,8 @@ def pipeline_blocks(
     out = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(spec_p, P()),
+        in_specs=(spec_p, P(), P()),
         out_specs=P(),
-    )(staged, xm)
+    )(staged, xm, consts)
 
-    return out.reshape(B, *x.shape[1:])
+    return jax.tree.map(lambda o, a: o.reshape(B, *a.shape[1:]), out, x)
