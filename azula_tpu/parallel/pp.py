@@ -114,14 +114,22 @@ def pipeline_blocks(
         microbatches: The number of microbatches :math:`M` (defaults to the
             axis size). Larger :math:`M` shrinks the pipeline bubble
             :math:`(S-1)/(M+S-1)`.
-        consts: A pytree of arrays shared by every microbatch (e.g. unbatched
-            positions). Replicated to all stages once — never streamed — and
-            passed to ``block_fn`` after the state.
+        consts: A tuple/list of pytrees shared by every microbatch (e.g.
+            unbatched positions). Replicated to all stages once — never
+            streamed — and unpacked as positional arguments to ``block_fn``
+            after the state (``block_fn(params, x, *consts)``), so it must be
+            a sequence: a dict would unpack to its keys, a bare array along
+            its leading axis.
 
     Returns:
         The output, matching the structure and shapes of ``x``, replicated
         over the axis.
     """
+
+    assert isinstance(consts, (tuple, list)), (
+        "consts must be a tuple/list of pytrees (it is unpacked as "
+        "positional block_fn arguments)"
+    )
 
     S = mesh.shape[axis]
     M = S if microbatches is None else microbatches

@@ -9,10 +9,10 @@ projection are tiny and run replicated on every stage, while the transformer
 block stack — all of the FLOPs — is pipelined over a mesh axis.
 
 The recipe streams exactly what varies per microbatch (the token activations
-and, when batched, the modulation vector) and replicates what does not (the
-position tensor, an unbatched modulation vector) via the ``consts`` channel
-of :func:`pipeline_blocks`, so ppermute traffic stays one activation tensor
-per tick.
+and, when batched, the modulation and position tensors) and replicates what
+does not (unbatched or broadcastable modulation/position) via the ``consts``
+channel of :func:`pipeline_blocks`, so ppermute traffic stays one activation
+tensor per tick.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ def pipeline_dit(
     the ppermute schedule, so the recipe serves training as well as serving.
 
     Arguments:
-        dit: The DiT module. Its block count must divide the axis size.
+        dit: The DiT module. The axis size must divide its block count.
         mesh: The device mesh.
         axis: The mesh axis to pipeline over.
         microbatches: Microbatch count (defaults to the axis size); the
@@ -78,11 +78,21 @@ def pipeline_dit(
         h = h + dit.pos_proj(emb)
 
         # Stream per-microbatch state; replicate microbatch-invariant tensors.
+        # A tensor is streamed only when its leading dimension IS the batch —
+        # broadcastable shapes like a (1, D) modulation or an unbatched
+        # (L, P) position are microbatch-invariant and ride in the consts
+        # channel (matching the sequential forward's broadcasting semantics).
+        B = h.shape[0]
         stream = {"h": h}
-        consts = {"pos": pos}
+        consts = {}
+
+        if pos.ndim > 2 and pos.shape[0] == B:
+            stream["pos"] = pos
+        else:
+            consts["pos"] = pos
 
         if mod is not None:
-            if mod.ndim > 1:
+            if mod.ndim > 1 and mod.shape[0] == B:
                 stream["mod"] = mod
             else:
                 consts["mod"] = mod

@@ -584,6 +584,34 @@ def test_pipeline_dit_equality(devices, batched_mod, key):
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
 
 
+def test_pipeline_dit_batched_pos_and_broadcast_mod(devices, key):
+    r"""pipeline_dit streams a batched position tensor (rope=True with pos of
+    shape (B, L, P)) and routes a broadcastable (1, D) modulation through the
+    replicated consts channel — both matching the sequential forward
+    (ADVICE r4: batched pos previously failed at trace time)."""
+
+    from azula_tpu.parallel import pipeline_dit
+
+    mesh = make_mesh(data=2, model=4)
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dit = DiT(
+        3, 3, mod_features=16, hid_channels=32, hid_blocks=8,
+        attention_heads=4, rope=True, key=k1,
+    )
+
+    B, L = 8, 16
+    x = jax.random.normal(k2, (B, L, 3))
+    pos = jax.random.normal(k3, (B, L, 1))  # per-sample positions
+    mod = jax.random.normal(k4, (1, 16))  # broadcastable, not batched
+
+    expected = dit(x, mod, pos=pos)
+    out = pipeline_dit(dit, mesh)(x, mod, pos=pos)
+
+    assert out.shape == expected.shape
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+
 def test_pipeline_dit_grads(devices, key):
     r"""Input and modulation gradients through the pipelined DiT forward match
     the sequential gradients (training viability of the recipe)."""
