@@ -275,8 +275,89 @@ def _train32() -> dict:
     return result
 
 
+def _smoke() -> dict:
+    r"""CPU smoke mode (<60 s): drives the same harness machinery — workload
+    construction, sampler scan, sync-through-scalar timing — at tiny shapes on
+    the host CPU, so a broken bench wiring is caught without a TPU."""
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from azula_tpu.denoise import KarrasDenoiser
+    from azula_tpu.nn.embedding import Modulated
+    from azula_tpu.nn.unet import UNet
+    from azula_tpu.noise import VPSchedule
+    from azula_tpu.sample import DDIMSampler
+
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    backbone = Modulated(
+        UNet(3, 3, mod_features=16, hid_channels=(8, 16), hid_blocks=(1, 1), key=k1),
+        16,
+        key=k2,
+    )
+    sampler = DDIMSampler(KarrasDenoiser(backbone, VPSchedule()), eta=0.0, steps=4)
+
+    x1 = sampler.init(k3, (4, 16, 16, 3))
+
+    def run_sync():
+        return float(jnp.sum(sampler(x1).astype(jnp.float32)))
+
+    run_sync()  # compile
+    t0 = time.perf_counter()
+    run_sync()
+    dt = time.perf_counter() - t0
+
+    result = {
+        "metric": "bench_smoke_cpu",
+        "value": round(4 / dt, 3),
+        "unit": "images/sec (cpu, tiny)",
+        "vs_baseline": 1.0,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def _last_sweep_row() -> dict:
+    r"""Parses the most recent `bench.py --all` row out of BENCH_NOTES.md:
+    workload -> images/sec. Returns {} when no history exists."""
+
+    import pathlib
+    import re
+
+    notes = pathlib.Path(__file__).parent / "BENCH_NOTES.md"
+    if not notes.exists():
+        return {}
+
+    header, last = None, None
+    for line in notes.read_text().splitlines():
+        if line.startswith("| date | commit | platform |"):
+            header = [c.strip() for c in line.strip("|").split("|")]
+        elif header and re.match(r"\| \d{4}-\d{2}-\d{2} \|", line):
+            last = [c.strip() for c in line.strip("|").split("|")]
+
+    if header is None or last is None:
+        return {}
+
+    out = {}
+    for name, cell in zip(header[3:], last[3:]):
+        m = re.match(r"([\d.]+)", cell)
+        if m:
+            out[name.split(" ")[0]] = float(m.group(1))
+    return out
+
+
+# Regression tolerance for `--all` vs the last BENCH_NOTES.md row. Session-to-
+# session remote-TPU variance measures ~1.5% (BENCH_NOTES adm256 bisect);
+# anything past 3% is a real slowdown and must fail loudly (VERDICT r4 #6).
+REGRESSION_TOLERANCE = 0.03
+
+
 def main(workload: str = "adm256") -> dict:
     from azula_tpu.sample import DDIMSampler
+
+    if workload == "smoke":
+        return _smoke()
 
     if workload == "train32":
         return _train32()
@@ -358,13 +439,23 @@ def run_all() -> None:
     import pathlib
     import subprocess
 
+    previous = _last_sweep_row()
+
     results = {}
+    regressions = []
     for name in [*WORKLOADS, "train32"]:
         try:
             results[name] = main(name)
         except Exception as e:  # record the failure, keep going
             print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             results[name] = {"metric": name, "value": None, "vs_baseline": None}
+
+        value = results[name].get("value")
+        prior = previous.get(name)
+        if prior and value is not None and value < prior * (1 - REGRESSION_TOLERANCE):
+            regressions.append((name, value, prior))
+        elif prior and value is None:
+            regressions.append((name, None, prior))
 
     try:
         commit = subprocess.run(
@@ -404,10 +495,28 @@ def run_all() -> None:
 
     print(f"appended to {notes}", file=sys.stderr)
 
+    if regressions:
+        print(
+            "\n" + "=" * 64
+            + "\nPERF REGRESSION vs last BENCH_NOTES.md row "
+            f"(tolerance {REGRESSION_TOLERANCE:.0%}):",
+            file=sys.stderr,
+        )
+        for name, value, prior in regressions:
+            print(
+                f"  {name}: {value if value is not None else 'FAILED'} "
+                f"(was {prior})",
+                file=sys.stderr,
+            )
+        print("=" * 64, file=sys.stderr)
+        raise SystemExit(1)
+
 
 if __name__ == "__main__":
     arg = sys.argv[1] if len(sys.argv) > 1 else "adm256"
-    if arg == "--all":
+    if arg == "--smoke":
+        main("smoke")
+    elif arg == "--all":
         run_all()
     else:
         main(arg)
