@@ -18,7 +18,7 @@ from .mesh import (  # noqa: F401
 )
 from .batch import sample_sharded  # noqa: F401
 from .pp import pipeline_blocks, stack_modules  # noqa: F401
-from .recipes import pipeline_dit  # noqa: F401
+from .recipes import flux_serving_shardings, pipeline_dit, serve_flux  # noqa: F401
 from .ring import ring_attention, ring_attention_local  # noqa: F401
 from .ulysses import ulysses_attention, ulysses_attention_local  # noqa: F401
 from .tp import (  # noqa: F401

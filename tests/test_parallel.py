@@ -677,3 +677,71 @@ def test_sd_tp_forward_equality(devices, key):
     out = sharded(shard_batch(x, mesh), shard_batch(t, mesh), shard_batch(ctx, mesh))
 
     assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+
+def test_serve_flux_sampling_equality(devices, key):
+    r"""The Flux serving recipe — TP x ZeRO-3 parameter placement composed
+    with the DDIM scan on a ('data', 'model') mesh — reproduces the unsharded
+    sampler bit-for-bit-close on a tiny config, for both the distilled-guidance
+    path and fused-batch CFG (VERDICT r4 #1)."""
+
+    from azula_tpu.guidance import CFGDenoiser
+    from azula_tpu.models.flux import FluxDenoiser
+    from azula_tpu.models.flux.backbone import FluxTransformer
+    from azula_tpu.parallel import flux_serving_shardings, serve_flux
+
+    mesh = make_mesh(data=4, model=2)
+
+    model = FluxTransformer(
+        in_channels=16,
+        num_layers=2,
+        num_single_layers=2,
+        attention_head_dim=24,
+        num_attention_heads=2,
+        joint_attention_dim=32,
+        pooled_projection_dim=20,
+        axes_dims_rope=(8, 8, 8),
+        key=key,
+    )
+    denoiser = FluxDenoiser(backbone=model)
+
+    # The placement actually shards: TP leaves carry 'model', ZeRO leaves 'data'.
+    shardings = flux_serving_shardings(denoiser, mesh, min_size=256)
+    specs = {str(s.spec) for s in jax.tree.leaves(shardings) if s is not None}
+    assert any("model" in s for s in specs), specs
+    assert any("data" in s for s in specs), specs
+
+    B, H, W = 8, 4, 4
+    k1, k2, k3 = jax.random.split(key, 3)
+    x1 = jax.random.normal(k1, (B, H, W, 16))
+    positive = {
+        "prompt_clip": jax.random.normal(k2, (B, 20)),
+        "prompt_t5": jax.random.normal(k3, (B, 6, 32)),
+        "guidance": 4.0,
+    }
+    negative = {
+        "prompt_clip": jnp.zeros((B, 20)),
+        "prompt_t5": jnp.zeros((B, 6, 32)),
+        "guidance": 4.0,
+    }
+
+    expected = DDIMSampler(denoiser, eta=0.0, steps=3)(x1, **positive)
+
+    sample = serve_flux(denoiser, mesh, steps=3, min_size=256)
+    out = sample(x1, positive)
+
+    assert jnp.allclose(jax.device_get(out), expected, atol=1e-5)
+
+    # Fused-batch CFG against the unsharded two-branch combination.
+    expected_cfg = DDIMSampler(CFGDenoiser(denoiser), eta=0.0, steps=3)(
+        x1, positive=positive, negative=negative, guidance=2.5
+    )
+    out_cfg = sample(x1, positive, negative=negative, guidance=2.5)
+
+    assert jnp.allclose(jax.device_get(out_cfg), expected_cfg, atol=1e-5)
+
+    # Host-level microbatching chunks the batch without changing results.
+    chunked = serve_flux(denoiser, mesh, steps=3, microbatch=4, min_size=256)
+    out_mb = chunked(x1, positive, negative=negative, guidance=2.5)
+
+    assert jnp.allclose(jax.device_get(out_mb), expected_cfg, atol=1e-5)
