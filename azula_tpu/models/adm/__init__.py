@@ -217,9 +217,9 @@ def load_model(name: str, dtype=None) -> AblatedDenoiser:
 
     path = download(card.url, hash_prefix=card.hash)
 
-    import torch
+    from ..ptread import load_pt
 
-    state = torch.load(path, weights_only=True, map_location="cpu")
+    state = load_pt(path)
 
     # Skip-init: construct abstractly (no parameter allocation, reference
     # `skip_init`, `adm/__init__.py:156-157`) and fill from the checkpoint

@@ -5,9 +5,10 @@ The NVlabs/edm checkpoints are pickled torch modules serialized through
 `_reconstruct_persistent_obj(meta)` with `meta.state = module.__dict__`,
 including `_parameters`/`_buffers`/`_modules` and the constructor
 `_init_args`/`_init_kwargs`). The reference requires the NVlabs repository on
-the Python path to unpickle them (`azula/plugins/edm/__init__.py:1-22`); here a
-**stub module namespace** intercepts the reconstruction and yields plain
-attribute bags — torch is needed for tensor storages only, at conversion time.
+the Python path to unpickle them (`azula/plugins/edm/__init__.py:1-22`); here
+the restricted unpickler (:mod:`azula_tpu.models.ptread`) resolves the
+reconstruction globals to plain attribute bags with numpy tensor storages —
+no NVlabs source tree and no torch.
 """
 
 from __future__ import annotations
@@ -20,10 +21,9 @@ __all__ = [
 ]
 
 import numpy as np
-import sys
-import types
 
 from ..convert_utils import Converter, _np, _transpose
+from ..ptread import RestrictedUnpickler
 from .backbone import PRECONDS, DhariwalUNet, EDMConv, FourierEmbedding, SongUNet
 
 
@@ -68,36 +68,27 @@ class _EasyDict(dict):
         self[name] = value
 
 
+class _NVlabsUnpickler(RestrictedUnpickler):
+    r"""Extends the restricted torch-checkpoint unpickler with the NVlabs
+    `torch_utils.persistence` reconstruction globals."""
+
+    def find_class(self, module: str, name: str):
+        if module.startswith("torch_utils") and name == "_reconstruct_persistent_obj":
+            return _reconstruct_persistent_obj
+        if module.startswith("dnnlib") and name == "EasyDict":
+            return _EasyDict
+        return super().find_class(module, name)
+
+
 def load_nvlabs_pickle(path: str) -> dict:
-    r"""Unpickles an NVlabs checkpoint without the NVlabs source tree.
+    r"""Unpickles an NVlabs checkpoint without the NVlabs source tree or torch
+    (tensor storages decode through :mod:`azula_tpu.models.ptread`).
 
     Returns the raw content dict (e.g. `{'ema': StubModule, ...}`).
     """
 
-    import pickle
-
-    stubs = {}
-    for name in ("torch_utils", "torch_utils.persistence", "dnnlib", "dnnlib.util"):
-        mod = types.ModuleType(name)
-        stubs[name] = mod
-
-    stubs["torch_utils.persistence"]._reconstruct_persistent_obj = (
-        _reconstruct_persistent_obj
-    )
-    stubs["torch_utils"].persistence = stubs["torch_utils.persistence"]
-    stubs["dnnlib"].EasyDict = _EasyDict
-    stubs["dnnlib.util"].EasyDict = _EasyDict
-    stubs["dnnlib"].util = stubs["dnnlib.util"]
-
-    inserted = {k: v for k, v in stubs.items() if k not in sys.modules}
-    sys.modules.update(inserted)
-
-    try:
-        with open(path, "rb") as f:
-            return pickle.load(f)
-    finally:
-        for k in inserted:
-            sys.modules.pop(k, None)
+    with open(path, "rb") as f:
+        return _NVlabsUnpickler(f).load()
 
 
 def stub_state_dict(stub: StubModule, prefix: str = "") -> dict:

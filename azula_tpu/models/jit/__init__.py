@@ -122,13 +122,9 @@ def load_model(name: str, ema: bool = True, dtype=None) -> JITDenoiser:
 
     archive = download(card.url, hash_prefix=card.hash, extract=True)
 
-    import torch
+    from ..ptread import load_pt
 
-    state = torch.load(
-        os.path.join(archive, "checkpoint-last.pth"),
-        weights_only=True,
-        map_location="cpu",
-    )
+    state = load_pt(os.path.join(archive, "checkpoint-last.pth"))
 
     state = state["model_ema1" if ema else "model"]
     state = {k.removeprefix("net."): v for k, v in state.items()}

@@ -102,9 +102,9 @@ def load_model(name: str, dtype=None) -> VelocityDenoiser:
 
     path = download(card.url, hash_prefix=card.hash)
 
-    import torch
+    from ..ptread import load_pt
 
-    state = torch.load(path, weights_only=True, map_location="cpu")
+    state = load_pt(path)
 
     # Skip-init: abstract construction, all leaves come from the checkpoint
     from ...utils.pytree import filter_eval_shape

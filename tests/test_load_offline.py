@@ -463,6 +463,8 @@ def test_edm_load_model_offline(monkeypatch, tmp_path):
 
     monkeypatch.setattr(edm, "download", lambda url, **kw: str(path))
 
+    _block_torch(monkeypatch)  # the NVlabs pickle decodes through ptread
+
     denoiser = edm.load_model("cifar10_32x32", dtype=jnp.float32)
 
     x_t = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
@@ -517,6 +519,7 @@ def test_eldm_load_model_offline(monkeypatch, tmp_path):
         return str(vae_path) if "sd-vae" in url else str(pkl)
 
     monkeypatch.setattr(eldm, "download", fake_download)
+    _block_torch(monkeypatch)  # the EDM2 pickle decodes through ptread
     monkeypatch.setattr(
         ae_mod, "AutoencoderKL", functools.partial(ae_mod.AutoencoderKL, **vae_cfg)
     )
@@ -529,3 +532,228 @@ def test_eldm_load_model_offline(monkeypatch, tmp_path):
     assert jnp.all(jnp.isfinite(q.mean))
 
     assert jnp.allclose(autoencoder.shift, 0.25) and jnp.allclose(autoencoder.scale, 2.0)
+
+
+# ------------------------------------------------------------- .pt families
+# The .pt-checkpoint families (adm/jit/vdm, plus the edm NVlabs pickles) load
+# through the pure-Python reader (azula_tpu.models.ptread). Torch is POISONED
+# in sys.modules during `load_model` to prove the runtime path never imports
+# it — the fake checkpoints themselves are written by real torch.save first.
+
+
+def _block_torch(monkeypatch):
+    r"""Makes any `import torch` under the test raise ImportError."""
+
+    monkeypatch.setitem(sys.modules, "torch", None)
+
+
+def test_adm_load_model_offline_no_torch(monkeypatch, tmp_path):
+    import types as _types
+
+    import torch
+
+    sys.modules.setdefault("gdown", _types.ModuleType("gdown"))
+    sys.path.insert(0, "/root/reference")
+    try:
+        from azula.plugins.adm._src.unet import UNetModel
+    finally:
+        sys.path.remove("/root/reference")
+
+    import azula_tpu.models.adm as adm
+    import azula_tpu.models.utils as mutils
+
+    torch.manual_seed(0)
+    ref = UNetModel(
+        image_size=32,
+        in_channels=3,
+        model_channels=32,
+        out_channels=6,
+        num_res_blocks=1,
+        attention_resolutions={2},
+        channel_mult=(1, 2),
+        num_classes=10,
+        num_head_channels=16,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    path = tmp_path / "fake-adm.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    tiny_cfg = dict(  # noqa: C408
+        image_size=32,
+        num_channels=32,
+        num_res_blocks=1,
+        channel_mult=[1, 2],
+        attention_resolutions=[16],
+        num_classes=10,
+        num_head_channels=16,
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+    )
+    card = SimpleNamespace(url="http://offline", hash=None, config=tiny_cfg)
+
+    def fake_cards(plugin):
+        return {"imagenet_64x64_cond": card}
+
+    monkeypatch.setattr(adm, "load_cards", fake_cards)
+    monkeypatch.setattr(mutils, "load_cards", fake_cards)
+    monkeypatch.setattr(adm, "download", lambda url, **kw: str(path))
+
+    # Tiny-arch manifests so the in-path check_manifest diff runs for real
+    mdir = tmp_path / "manifests"
+    mutils.generate_manifests("adm", str(mdir))
+    monkeypatch.setattr(mutils, "_manifest_dir", lambda: str(mdir))
+
+    _block_torch(monkeypatch)
+
+    denoiser = adm.load_model("imagenet_64x64_cond", dtype=jnp.bfloat16)
+
+    x_t = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+    q = denoiser(x_t, jnp.full((2,), 0.5), label=jnp.asarray([1, 7]))
+    assert q.mean.shape == x_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+
+def test_jit_load_model_offline_no_torch(monkeypatch, tmp_path):
+    import os
+    import types as _types
+
+    import torch
+
+    os.environ["TORCHDYNAMO_DISABLE"] = "1"
+    sys.modules.setdefault("gdown", _types.ModuleType("gdown"))
+    sys.path.insert(0, "/root/reference")
+    try:
+        from azula.plugins.jit._src.model import JiT as RefJiT
+    finally:
+        sys.path.remove("/root/reference")
+
+    import azula_tpu.models.jit as jit_mod
+    import azula_tpu.models.utils as mutils
+
+    tiny = dict(  # noqa: C408
+        input_size=64,
+        patch_size=16,
+        hidden_size=64,
+        depth=3,
+        num_heads=4,
+        num_classes=10,
+        bottleneck_dim=16,
+        in_context_len=4,
+        in_context_start=1,
+    )
+
+    torch.manual_seed(0)
+    ref = RefJiT(**tiny)
+
+    archive = tmp_path / "jit"
+    archive.mkdir()
+    torch.save(
+        {"model_ema1": {f"net.{k}": v for k, v in ref.state_dict().items()}},
+        str(archive / "checkpoint-last.pth"),
+    )
+
+    card = SimpleNamespace(url="http://offline", hash=None, config={"model": "JiT-B/16"})
+
+    def fake_cards(plugin):
+        return {"jit_0.1b_16": card}
+
+    monkeypatch.setattr(jit_mod, "load_cards", fake_cards)
+    monkeypatch.setattr(mutils, "load_cards", fake_cards)
+    monkeypatch.setattr(jit_mod, "JIT_CONFIGS", {"JiT-B/16": tiny})
+    monkeypatch.setattr(jit_mod, "download", lambda url, **kw: str(archive))
+
+    mdir = tmp_path / "manifests"
+    mutils.generate_manifests("jit", str(mdir))
+    monkeypatch.setattr(mutils, "_manifest_dir", lambda: str(mdir))
+
+    _block_torch(monkeypatch)
+
+    denoiser = jit_mod.load_model("jit_0.1b_16", dtype=jnp.bfloat16)
+
+    x_t = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+    q = denoiser(x_t, jnp.full((2,), 0.5), label=jnp.asarray([0, 3]))
+    assert q.mean.shape == x_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+
+def test_vdm_load_model_offline_no_torch(monkeypatch, tmp_path):
+    import torch
+
+    import azula_tpu.models.utils as mutils
+    import azula_tpu.models.vdm as vdm_mod
+
+    from azula_tpu.models.vdm.backbone import VDMSpec, VDMUNet
+    from azula_tpu.utils.pytree import state_dict
+
+    spec = VDMSpec(
+        cs=(8, 16),
+        blocks=1,
+        inner=2,
+        attn=(1,),
+        head_dim=8,
+        final_act=False,
+        t_input="log_snr",
+        up="nearest",
+        std=0.2,
+    )
+
+    # The converter's torch->jax mapping, inverted, writes a genuine
+    # torch-layout checkpoint from the tiny native module.
+    native = VDMUNet(spec, key=jax.random.key(42))
+
+    def to_torch(sd):
+        out = {}
+        for k, v in sd.items():
+            v = np.asarray(v)
+            if k.endswith(".scale") and v.ndim == 1:
+                k = k[: -len(".scale")] + ".weight"
+            elif v.ndim == 4:
+                v = np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+            elif (
+                v.ndim == 2
+                and k.endswith(".weight")
+                and not k.endswith("timestep_embed.weight")
+            ):
+                v = v.T
+            out[k] = torch.as_tensor(np.ascontiguousarray(v))
+        return out
+
+    path = tmp_path / "fake-vdm.pth"
+    torch.save(to_torch(state_dict(native)), str(path))
+
+    card = SimpleNamespace(
+        url="http://offline", hash=None, config={"model": "imagenet_128"}
+    )
+
+    def fake_cards(plugin):
+        return {"imagenet_128x128": card}
+
+    monkeypatch.setattr(vdm_mod, "load_cards", fake_cards)
+    monkeypatch.setattr(mutils, "load_cards", fake_cards)
+    monkeypatch.setattr(vdm_mod, "SPECS", {"imagenet_128": spec})
+    monkeypatch.setattr(vdm_mod, "download", lambda url, **kw: str(path))
+
+    mdir = tmp_path / "manifests"
+    mutils.generate_manifests("vdm", str(mdir))
+    monkeypatch.setattr(mutils, "_manifest_dir", lambda: str(mdir))
+
+    _block_torch(monkeypatch)
+
+    denoiser = vdm_mod.load_model("imagenet_128x128", dtype=jnp.bfloat16)
+
+    x_t = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    q = denoiser(x_t, jnp.full((2,), 0.5))
+    assert q.mean.shape == x_t.shape
+    assert jnp.all(jnp.isfinite(q.mean))
+
+    # Round-trip: the loaded backbone equals the native source module.
+    src = [x for x in jax.tree.leaves(native) if hasattr(x, "shape")]
+    got = [x for x in jax.tree.leaves(denoiser.backbone) if hasattr(x, "shape")]
+    assert len(src) == len(got)
+    assert all(
+        np.allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32), atol=1e-2
+        )
+        for a, b in zip(src, got)
+    )
