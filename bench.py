@@ -275,6 +275,198 @@ def _train32() -> dict:
     return result
 
 
+def _flux_block() -> dict:
+    r"""Serving microbench for the FLUX.1 transformer at its real shapes: one
+    dual-stream (MMDiT) + one single-stream block, D=3072, 24 heads (head_dim
+    128), 4096 image + 512 text tokens (1024px latents), bf16.
+
+    The full 12B model cannot hold one chip's HBM replicated (~24 GB bf16
+    weights) — at scale it runs through :func:`azula_tpu.parallel.serve_flux`
+    (TP x ZeRO-3) — so the single-chip bench measures the repeating unit that
+    all 19 dual + 38 single blocks share, chained back-to-back exactly as the
+    model runs them (reference capability: `azula/plugins/flux/__init__.py:219-256`).
+
+    Bar: ~2.61 TFLOPs per block pair at B=1 (2x MAC: dual 652G MAC — qkv 130G,
+    joint attention 130G, out 43G, FFNs 348G — single 652G MAC — fused qkv+mlp
+    305G, attention 130G, fused proj_out 217G — at L=4608); A100 bf16 at 40%
+    MFU (125 TF/s) -> 47.8 pairs/s.
+    """
+
+    import numpy as np
+
+    from azula_tpu.models.flux.backbone import (
+        FluxSingleTransformerBlock,
+        FluxTransformerBlock,
+        rope_cos_sin,
+    )
+
+    key = jax.random.key(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    dim, heads = 3072, 24
+    B, L_img, L_txt = 1, 4096, 512
+
+    dual = FluxTransformerBlock(dim, heads, key=k1).astype(jnp.bfloat16)
+    single = FluxSingleTransformerBlock(dim, heads, key=k2).astype(jnp.bfloat16)
+
+    # 64x64 latent grid image ids after zero text ids (checkpoint convention:
+    # text first), FLUX.1 rope axis dims (16, 56, 56).
+    z = np.zeros(1, dtype=np.float32)
+    grid = np.stack(
+        np.meshgrid(z, np.arange(64), np.arange(64), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    ids = np.concatenate([np.zeros((L_txt, 3)), grid]).astype(np.float32)
+    cos, sin = rope_cos_sin(jnp.asarray(ids), (16, 56, 56))
+
+    img = jax.random.normal(k3, (B, L_img, dim), dtype=jnp.bfloat16)
+    txt = jax.random.normal(k4, (B, L_txt, dim), dtype=jnp.bfloat16)
+    emb = jax.random.normal(k5, (B, dim), dtype=jnp.bfloat16)
+
+    # The dual and single blocks run as SEPARATE one-block programs, each
+    # chained through its data dependence for `chain` async dispatches with
+    # one sync at the end — the device runs back-to-back while the relay's
+    # fixed per-dispatch cost overlaps, so the timing reads device
+    # throughput. Why not one program like FluxTransformer.__call__
+    # (backbone.py:401-406): on this backend any program with two or more
+    # flash-attention call sites at this shape (B=1, H=24, L=4608, D=128)
+    # compiles pathologically (one dual+single pair: >12 min; a length-2
+    # lax.scan of one block: >10 min) while each block alone compiles in
+    # ~10 s (measured 2026-08-20). The block boundary is elementwise, so
+    # splitting loses no fusion. Weights ride as traced arguments (like
+    # Sampler.__call__), never as XLA constants.
+    from azula_tpu.utils.pytree import combine, partition
+
+    dual_arrays, dual_static = partition((dual, emb, cos, sin))
+    single_arrays, single_static = partition((single, emb, cos, sin))
+
+    @jax.jit
+    def run_dual(arrays, img, txt):
+        dual, emb, cos, sin = combine(arrays, dual_static)
+        return dual(img, txt, emb, cos, sin)
+
+    @jax.jit
+    def run_single(arrays, x):
+        single, emb, cos, sin = combine(arrays, single_static)
+        return single(x, emb, cos, sin)
+
+    x0 = jnp.concatenate([txt, img], axis=1)
+    chain = 16
+
+    def run_sync():
+        i, t = img, txt
+        for _ in range(chain):
+            i, t = run_dual(dual_arrays, i, t)
+        s = float(jnp.sum(i.astype(jnp.float32)))
+
+        x = x0
+        for _ in range(chain):
+            x = run_single(single_arrays, x)
+        return s + float(jnp.sum(x.astype(jnp.float32)))
+
+    run_sync()  # compile
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_sync()
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    pairs_per_sec = chain / dt
+
+    print(
+        f"platform={jax.default_backend()} chain={chain} "
+        f"tokens={L_txt + L_img} times={[round(t, 3) for t in times]}",
+        file=sys.stderr,
+    )
+
+    result = {
+        "metric": "flux_block_pair_throughput",
+        "value": round(pairs_per_sec, 2),
+        "unit": "block-pairs/sec (B=1, 4608 tok)",
+        "vs_baseline": round(pairs_per_sec / 47.8, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+def _dit32_train() -> dict:
+    r"""Training throughput on the dit32 model: jitted ViT train step
+    (forward + attention backward + adamw) at batch 128, 100 steps per
+    compiled scan (steady state, same harness as train32) — the measured
+    workload that exercises the Pallas flash-attention backward / fused-MSA
+    vjp path (VERDICT r4 #7).
+
+    Bar: derived like train32's — dit32's sampling bar (158 img/s over 64
+    forwards/image) implies ~10.1k forward-img/s on an A100-class chip; an
+    ideal train step costs ~3 forward equivalents -> ~3,370 img/s.
+    """
+
+    import optax
+
+    from azula_tpu.utils.pytree import combine, partition
+
+    key = jax.random.key(0)
+    _, denoiser, _, _, _ = _dit32(key)
+
+    params, static = partition(denoiser)
+
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+
+    B = 128
+    steps = 100
+    x = jax.random.normal(jax.random.key(1), (B, 32, 32, 3))
+    t = jax.random.uniform(jax.random.key(2), (B,))
+
+    @jax.jit
+    def epoch(params, opt_state, x, t, key):
+        def body(carry, k):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                return combine(p, static).loss(x, t, key=k)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, steps)
+        )
+
+        return params, opt_state, losses
+
+    params, opt_state, losses = epoch(params, opt_state, x, t, jax.random.key(3))
+    float(losses[-1])
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, losses = epoch(params, opt_state, x, t, jax.random.fold_in(key, i))
+        float(losses[-1])
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    images_per_sec = B * steps / dt
+
+    print(
+        f"platform={jax.default_backend()} batch={B} steps={steps} dt={dt:.3f}s "
+        f"times={[round(x, 3) for x in times]}",
+        file=sys.stderr,
+    )
+    result = {
+        "metric": "dit32_train_step_throughput",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / 3370.0, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def _smoke() -> dict:
     r"""CPU smoke mode (<60 s): drives the same harness machinery — workload
     construction, sampler scan, sync-through-scalar timing — at tiny shapes on
@@ -362,6 +554,12 @@ def main(workload: str = "adm256") -> dict:
     if workload == "train32":
         return _train32()
 
+    if workload == "dit32_train":
+        return _dit32_train()
+
+    if workload == "flux_block":
+        return _flux_block()
+
     key = jax.random.key(0)
     k_model, k_init = jax.random.split(key)
 
@@ -443,7 +641,7 @@ def run_all() -> None:
 
     results = {}
     regressions = []
-    for name in [*WORKLOADS, "train32"]:
+    for name in [*WORKLOADS, "train32", "dit32_train", "flux_block"]:
         try:
             results[name] = main(name)
         except Exception as e:  # record the failure, keep going
@@ -474,9 +672,9 @@ def run_all() -> None:
             "One row per `bench.py --all` run (images/sec/chip; `vs` = ratio "
             "to the A100-class bar documented per workload in bench.py).\n\n"
             "| date | commit | platform | "
-            + " | ".join(f"{w} (vs)" for w in [*WORKLOADS, "train32"])
+            + " | ".join(f"{w} (vs)" for w in [*WORKLOADS, "train32", "dit32_train", "flux_block"])
             + " |\n|---|---|---|"
-            + "---|" * (len(WORKLOADS) + 1)
+            + "---|" * (len(WORKLOADS) + 3)
             + "\n"
         )
 
@@ -487,7 +685,7 @@ def run_all() -> None:
 
     row = (
         f"| {date} | {commit} | {jax.default_backend()} | "
-        + " | ".join(cell(results[w]) for w in [*WORKLOADS, "train32"])
+        + " | ".join(cell(results[w]) for w in [*WORKLOADS, "train32", "dit32_train", "flux_block"])
         + " |\n"
     )
     with notes.open("a") as f:
