@@ -65,6 +65,42 @@ def _tiny_clip_sd():
     return _np_sd(clip)
 
 
+
+
+def _pin_digest(name, denoiser, probe_fn, shape):
+    r"""Wrapper-level numerics pin (VERDICT r4 #2): activation digest on fixed
+    probes plus per-tensor stats of the loaded module, compared against the
+    committed `digests/<name>.json` artifact — a refactor that changes any
+    converted model's outputs (or the wrapper's clip/var/searchsorted
+    behavior) fails offline. Regenerate with `AZULA_REGEN_DIGESTS=1`.
+    """
+
+    import json
+    import os
+    import pathlib
+
+    from azula_tpu.models.utils import activation_digest, compare_digests, weight_digest
+    from azula_tpu.utils.pytree import state_dict
+
+    doc = {
+        "weights": weight_digest(state_dict(denoiser)),
+        "activations": activation_digest(probe_fn, {"x": shape}),
+    }
+
+    path = pathlib.Path(__file__).parent.parent / "digests" / f"{name}.json"
+
+    if os.environ.get("AZULA_REGEN_DIGESTS"):
+        path.parent.mkdir(exist_ok=True)
+        path.write_text(json.dumps(doc, indent=0) + "\n")
+        return
+
+    assert path.exists(), (
+        f"missing committed digest {path}; regenerate with AZULA_REGEN_DIGESTS=1"
+    )
+    diffs = compare_digests(doc, json.loads(path.read_text()))
+    assert not diffs, f"numerics drift vs {path}:\n" + "\n".join(diffs[:12])
+
+
 @pytest.mark.parametrize("card", ["sd_1.5", "sd_2"], ids=["sd1-eps", "sd2-vpred"])
 def test_sd_load_model_offline(card, monkeypatch, tmp_path):
     import torch
@@ -160,6 +196,13 @@ def test_sd_load_model_offline(card, monkeypatch, tmp_path):
     q = denoiser(z_t, jnp.full((2,), 0.4), prompt_embeds=ctx)
     assert q.mean.shape == z_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
+
+    _pin_digest(
+        f"sd_{card}".replace(".", "_"),
+        denoiser,
+        lambda x, t: denoiser(x, t, prompt_embeds=ctx).mean,
+        (2, 16, 16, 4),
+    )
 
     x = jax.random.normal(jax.random.key(2), (1, 32, 32, 3))
     z = autoencoder.encode(x, key=jax.random.key(3))
@@ -312,6 +355,13 @@ def test_flux_load_model_offline(monkeypatch, tmp_path):
     assert q.mean.shape == z_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
 
+    _pin_digest(
+        "flux_1_dev",
+        denoiser,
+        lambda x, t: denoiser(x, t, prompt_clip=clip_pooled, prompt_t5=t5_seq).mean,
+        (2, 4, 4, 16),
+    )
+
 
 @pytest.mark.parametrize(
     "card", ["sana_0.6b_512", "sana_1.5_1.6b_1024"], ids=["sana1", "sana1.5-qknorm"]
@@ -430,6 +480,13 @@ def test_sana_load_model_offline(card, monkeypatch, tmp_path):
     assert q.mean.shape == z_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
 
+    _pin_digest(
+        card,
+        denoiser,
+        lambda x, t: denoiser(x, t, prompt_embeds=ctx, prompt_mask=mask).mean,
+        (2, 8, 8, 8),
+    )
+
     x = jax.random.normal(jax.random.key(2), (1, 16, 16, 3))
     z = autoencoder.encode(x)
     assert z.shape == (1, 8, 8, 8)
@@ -471,6 +528,13 @@ def test_edm_load_model_offline(monkeypatch, tmp_path):
     q = denoiser(x_t, jnp.full((2,), 0.5))
     assert q.mean.shape == x_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
+
+    _pin_digest(
+        "edm_cifar10",
+        denoiser,
+        lambda x, t: denoiser(x, t).mean,
+        (2, 16, 16, 3),
+    )
 
 
 def test_eldm_load_model_offline(monkeypatch, tmp_path):
@@ -530,6 +594,13 @@ def test_eldm_load_model_offline(monkeypatch, tmp_path):
     q = denoiser(z_t, jnp.full((2,), 0.5), label=jax.nn.one_hot(jnp.asarray([1, 2]), 10))
     assert q.mean.shape == z_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
+
+    _pin_digest(
+        "eldm_imagenet_512_xs",
+        denoiser,
+        lambda x, t: denoiser(x, t, label=jax.nn.one_hot(jnp.asarray([1, 2]), 10)).mean,
+        (2, 16, 16, 4),
+    )
 
     assert jnp.allclose(autoencoder.shift, 0.25) and jnp.allclose(autoencoder.scale, 2.0)
 
@@ -613,6 +684,13 @@ def test_adm_load_model_offline_no_torch(monkeypatch, tmp_path):
     assert q.mean.shape == x_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
 
+    _pin_digest(
+        "adm_imagenet_64_cond",
+        denoiser,
+        lambda x, t: denoiser(x, t, label=jnp.asarray([1, 7])).mean,
+        (2, 32, 32, 3),
+    )
+
 
 def test_jit_load_model_offline_no_torch(monkeypatch, tmp_path):
     import os
@@ -675,6 +753,13 @@ def test_jit_load_model_offline_no_torch(monkeypatch, tmp_path):
     q = denoiser(x_t, jnp.full((2,), 0.5), label=jnp.asarray([0, 3]))
     assert q.mean.shape == x_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
+
+    _pin_digest(
+        "jit_0_1b_16",
+        denoiser,
+        lambda x, t: denoiser(x, t, label=jnp.asarray([0, 3])).mean,
+        (2, 64, 64, 3),
+    )
 
 
 def test_vdm_load_model_offline_no_torch(monkeypatch, tmp_path):
@@ -746,6 +831,13 @@ def test_vdm_load_model_offline_no_torch(monkeypatch, tmp_path):
     q = denoiser(x_t, jnp.full((2,), 0.5))
     assert q.mean.shape == x_t.shape
     assert jnp.all(jnp.isfinite(q.mean))
+
+    _pin_digest(
+        "vdm_imagenet_128",
+        denoiser,
+        lambda x, t: denoiser(x, t).mean,
+        (2, 16, 16, 3),
+    )
 
     # Round-trip: the loaded backbone equals the native source module.
     src = [x for x in jax.tree.leaves(native) if hasattr(x, "shape")]
