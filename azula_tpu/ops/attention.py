@@ -792,6 +792,118 @@ def _bwd_block(L: int) -> int:
     return L
 
 
+def _pallas_attention_batched_bwd(
+    q: Array,
+    k: Array,
+    v: Array,
+    o: Array,
+    lse: Array,
+    g: Array,
+    scale: float,
+) -> tuple[Array, Array, Array]:
+    r"""Flash attention backward for *short* sequences: several (batch, head)
+    pairs per program, one single-block pass producing dQ, dK and dV together.
+
+    The two-kernel FA-2 backward runs `2 * B * H` tiny programs at L <= 512 —
+    per-program DMA/dispatch cost dominates exactly as it did for the forward
+    (see :func:`_pallas_attention_batched`), and P is rebuilt twice. Here the
+    whole (L, L) softmax block stays in VMEM, each program unrolls G pairs,
+    and every tensor is touched once. Measured on the dit32 train step
+    (B=128, H=6, L=256, D=64): the attention fwd+bwd share of the step drops
+    ~2x vs either the FA-2 kernels or the materialized XLA backward.
+    """
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, L, D = q.shape
+    N = B * H
+
+    # Per-pair f32 transients: s, p, dp, ds = 16 L^2 bytes. Mosaic allocates
+    # every unrolled iteration's transients separately, so G is bounded by a
+    # VMEM budget (same constraint as the fused-MSA kernel's unroll bound).
+    budget = 8 * 2**20
+    G = 1
+    for cand in (8, 4, 2):
+        if N % cand == 0 and cand * 16 * L * L <= budget:
+            G = cand
+            break
+
+    qf = q.reshape(N, L, D)
+    kf = k.reshape(N, L, D)
+    vf = v.reshape(N, L, D)
+    of = o.reshape(N, L, D)
+    gf = g.reshape(N, L, D).astype(q.dtype)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dq_ref, dk_ref, dv_ref):
+        for i in range(G):
+            qb, kb, vb = q_ref[i], k_ref[i], v_ref[i]
+            ob, gb = o_ref[i], g_ref[i]
+
+            s = jax.lax.dot_general(
+                qb,
+                kb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+
+            # lse arrives lane-replicated (L, 128); any single lane is the value
+            p = jnp.exp(s - lse_ref[i][:, 0:1])
+
+            dp = jax.lax.dot_general(
+                gb,
+                vb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(
+                gb.astype(jnp.float32) * ob.astype(jnp.float32),
+                axis=-1,
+                keepdims=True,
+            )
+
+            ds = (p * (dp - delta) * scale).astype(qb.dtype)
+            p16 = p.astype(qb.dtype)
+
+            dq_ref[i] = jax.lax.dot_general(
+                ds,
+                kb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_ref[i] = jax.lax.dot_general(
+                ds,
+                qb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+            dv_ref[i] = jax.lax.dot_general(
+                p16,
+                gb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+
+    spec = pl.BlockSpec((G, L, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((G, L, 128), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(N // G,),
+        in_specs=[spec, spec, spec, spec, spec, lse_spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((N, L, D), q.dtype) for _ in range(3)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * N * L * L * D,
+            bytes_accessed=8 * N * L * D * q.dtype.itemsize,
+            transcendentals=N * L * L,
+        ),
+    )(qf, kf, vf, of, gf, lse)
+
+    shape = (B, H, L, D)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+
+
 def _pallas_attention_bwd(
     q: Array,
     k: Array,
@@ -825,6 +937,12 @@ def _pallas_attention_bwd(
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, L, D = q.shape
+
+    # Short sequences: one multi-pair single-block pass (dQ/dK/dV together)
+    # instead of 2*B*H tiny two-kernel programs.
+    if L <= _BATCHED_MAX_L and bias is None and dropout_rate == 0:
+        return _pallas_attention_batched_bwd(q, k, v, o, lse, g, scale)
+
     BQ = _bwd_block(L)
     BK = _bwd_block(L)
     nq = L // BQ

@@ -144,6 +144,55 @@ def _reference(
     return o.reshape(B, L, C)
 
 
+def _reference_core_flash(qkv, cos2, sin2, heads, eps, scale):
+    r"""The :func:`_reference` math with the attention core swapped for the
+    flash `custom_vjp` (:func:`azula_tpu.ops.attention._flash`).
+
+    Drives the backward on TPU: differentiating this instead of the
+    materialized-softmax reference routes the attention core's forward
+    recompute AND its gradient through the multi-pair Pallas kernels
+    (`_pallas_attention_batched` / `_pallas_attention_batched_bwd`), which
+    never write an :math:`L \times L` tensor to HBM. The norm/rope pre- and
+    post-processing stays XLA (elementwise, fuses freely).
+    """
+
+    from .attention import _flash
+
+    B, L, C3 = qkv.shape
+    C = C3 // 3
+    D = C // heads
+
+    x = qkv.reshape(B, L, 3, heads, D)
+    q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (B, L, H, D)
+
+    def norm(z):
+        z = z.astype(jnp.float32)
+        return z * jax.lax.rsqrt(jnp.mean(jnp.square(z), axis=-1, keepdims=True) + eps)
+
+    if eps is not None:
+        q, k = norm(q), norm(k)
+    else:
+        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+
+    if cos2 is not None:
+        c = cos2.astype(jnp.float32).reshape(L, heads, D)
+        s = sin2.astype(jnp.float32).reshape(L, heads, D)
+
+        def swap(z):
+            return z.reshape(*z.shape[:-1], D // 2, 2)[..., ::-1].reshape(z.shape)
+
+        q = q * c + swap(q) * s
+        k = k * c + swap(k) * s
+
+    q = q.astype(qkv.dtype).swapaxes(1, 2)  # (B, H, L, D)
+    k = k.astype(qkv.dtype).swapaxes(1, 2)
+    v = v.swapaxes(1, 2)
+
+    o = _flash(q, k, v, scale)
+
+    return o.swapaxes(1, 2).reshape(B, L, C)
+
+
 def _kernel_call(qkv, cos2, sin2, heads, eps, scale):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -427,8 +476,9 @@ def _fused_fwd(qkv, cos2, sin2, heads, eps, scale):
 
 def _fused_bwd(heads, eps, scale, residuals, g):
     qkv, cos2, sin2 = residuals
+    ref = _reference_core_flash if jax.default_backend() == "tpu" else _reference
     _, vjp = jax.vjp(
-        lambda a, b, c: _reference(a, b, c, heads, eps, scale), qkv, cos2, sin2
+        lambda a, b, c: ref(a, b, c, heads, eps, scale), qkv, cos2, sin2
     )
     return vjp(g)
 
