@@ -797,7 +797,7 @@ def _pallas_attention_batched_bwd(
     k: Array,
     v: Array,
     o: Array,
-    lse: Array,
+    lse: Array | None,
     g: Array,
     scale: float,
 ) -> tuple[Array, Array, Array]:
@@ -811,6 +811,11 @@ def _pallas_attention_batched_bwd(
     and every tensor is touched once. Measured on the dit32 train step
     (B=128, H=6, L=256, D=64): the attention fwd+bwd share of the step drops
     ~2x vs either the FA-2 kernels or the materialized XLA backward.
+
+    With ``lse=None`` the softmax max/denominator are recomputed in-VMEM from
+    the rebuilt logits — two cheap passes over an (L, L) tile that spare the
+    forward from writing the lane-replicated (B*H, L, 128) float32 residual
+    at all (~200 MB per dit32-shaped layer, written forward + read backward).
     """
 
     from jax.experimental import pallas as pl
@@ -835,7 +840,13 @@ def _pallas_attention_batched_bwd(
     of = o.reshape(N, L, D)
     gf = g.reshape(N, L, D).astype(q.dtype)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, g_ref, lse_ref, dq_ref, dk_ref, dv_ref):
+    def kernel(*refs):
+        refs = list(refs)
+        q_ref, k_ref, v_ref, o_ref, g_ref = refs[:5]
+        refs = refs[5:]
+        lse_ref = refs.pop(0) if lse is not None else None
+        dq_ref, dk_ref, dv_ref = refs
+
         for i in range(G):
             qb, kb, vb = q_ref[i], k_ref[i], v_ref[i]
             ob, gb = o_ref[i], g_ref[i]
@@ -847,8 +858,14 @@ def _pallas_attention_batched_bwd(
                 preferred_element_type=jnp.float32,
             ) * scale
 
-            # lse arrives lane-replicated (L, 128); any single lane is the value
-            p = jnp.exp(s - lse_ref[i][:, 0:1])
+            if lse_ref is None:
+                # Single-block softmax recomputed in-VMEM: no lse residual.
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+            else:
+                # lse arrives lane-replicated (L, 128); any lane is the value
+                p = jnp.exp(s - lse_ref[i][:, 0:1])
 
             dp = jax.lax.dot_general(
                 gb,
@@ -885,12 +902,19 @@ def _pallas_attention_batched_bwd(
             ).astype(dv_ref.dtype)
 
     spec = pl.BlockSpec((G, L, D), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((G, L, 128), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+
+    in_specs = [spec, spec, spec, spec, spec]
+    operands = [qf, kf, vf, of, gf]
+    if lse is not None:
+        in_specs.append(
+            pl.BlockSpec((G, L, 128), lambda n: (n, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(lse)
 
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(N // G,),
-        in_specs=[spec, spec, spec, spec, spec, lse_spec],
+        in_specs=in_specs,
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((N, L, D), q.dtype) for _ in range(3)),
         cost_estimate=pl.CostEstimate(
@@ -898,7 +922,7 @@ def _pallas_attention_batched_bwd(
             bytes_accessed=8 * N * L * D * q.dtype.itemsize,
             transcendentals=N * L * L,
         ),
-    )(qf, kf, vf, of, gf, lse)
+    )(*operands)
 
     shape = (B, H, L, D)
     return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
@@ -942,6 +966,8 @@ def _pallas_attention_bwd(
     # instead of 2*B*H tiny two-kernel programs.
     if L <= _BATCHED_MAX_L and bias is None and dropout_rate == 0:
         return _pallas_attention_batched_bwd(q, k, v, o, lse, g, scale)
+
+    assert lse is not None, "the blocked backward needs the forward's LSE residual"
 
     BQ = _bwd_block(L)
     BK = _bwd_block(L)
@@ -1176,7 +1202,10 @@ def _flash(q: Array, k: Array, v: Array, scale: float, max_free: bool = False) -
 def _flash_fwd(q, k, v, scale, max_free):
     # Training keeps the exact online max: the LSE residual and the backward
     # softmax reconstruction stay untouched by the serving-path shortcut.
-    o, lse = _pallas_dispatch(q, k, v, scale)
+    # At short L the batched backward recomputes the single-block softmax
+    # in-VMEM, so no LSE residual is computed or written at all.
+    with_lse = q.shape[-2] > _BATCHED_MAX_L
+    o, lse = _pallas_dispatch(q, k, v, scale, with_lse=with_lse)
     return o, (q, k, v, o, lse)
 
 
