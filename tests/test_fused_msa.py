@@ -47,7 +47,10 @@ def test_reference_matches_unfused_model(rope, qk_norm, key):
     eps = 1e-5 if qk_norm else None
     got = msa.y_proj(fused_msa_attention(qkv, H, theta, eps=eps))
 
-    assert jnp.max(jnp.abs(want - got)) < 1e-4
+    # On-TPU f32 matmuls run at the default (bf16-pass) precision, so the
+    # two op orders diverge at ~1e-3 there; CPU f32 is exact to 1e-4.
+    tol = 1e-4 if jax.default_backend() == "cpu" else 2e-3
+    assert jnp.max(jnp.abs(want - got)) < tol
 
 
 def test_rope_tables_invert_apply_rope(key):
