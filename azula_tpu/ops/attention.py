@@ -689,6 +689,177 @@ def _pallas_attention_batched(
     return outs[0].reshape(B, H, L, D), (outs[1] if with_lse else None)
 
 
+def _blhd_layout(B: int, H: int, L: int, D: int):
+    r"""Grid and block spec for kernels that consume (B, L, H*D) arrays
+    directly — the fused QKV projection's native layout: per program, G full
+    batch rows arrive as a (G, L, H*D) block and the kernel lane-slices
+    heads in VMEM (the fused-MSA kernel's packing idiom) — no host-side head
+    transpose is ever materialized."""
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Per unrolled (g, h) iteration: s/p transients ~16 L^2 bytes (Mosaic
+    # allocates every unrolled iteration separately).
+    budget = 12 * 2**20
+    G = 1
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * H * 16 * L * L <= budget:
+            G = cand
+            break
+
+    spec = pl.BlockSpec(
+        (G, L, H * D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    return G, (B // G,), spec
+
+
+def _flash_blhd_fwd_kernel(scale, G, H, D, q_ref, k_ref, v_ref, o_ref):
+    # A head-PAIR packed variant (adjacent heads as one 128-lane slice
+    # attending against block-diagonal K/V stacks, full MXU depth) measured
+    # *slower* end-to-end (dit32 train step 57.8 -> 63.2 ms): the stack
+    # masking, per-half reductions and repeats outweigh the depth win at
+    # these tile sizes. The simple per-head loop stays.
+    for i in range(G):
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            qb, kb, vb = q_ref[i, :, sl], k_ref[i, :, sl], v_ref[i, :, sl]
+
+            logits = jax.lax.dot_general(
+                qb,
+                kb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            d = jnp.sum(p, axis=-1, keepdims=True)
+
+            o = jax.lax.dot_general(
+                p.astype(vb.dtype),
+                vb,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[i, :, sl] = (o / d).astype(o_ref.dtype)
+
+
+def _flash_blhd_bwd_kernel(
+    scale, G, H, D, q_ref, k_ref, v_ref, o_ref, g_ref, dq_ref, dk_ref, dv_ref
+):
+    for i in range(G):
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            qb, kb, vb = q_ref[i, :, sl], k_ref[i, :, sl], v_ref[i, :, sl]
+            ob, gb = o_ref[i, :, sl], g_ref[i, :, sl]
+
+            s = jax.lax.dot_general(
+                qb,
+                kb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+            dp = jax.lax.dot_general(
+                gb,
+                vb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(
+                gb.astype(jnp.float32) * ob.astype(jnp.float32),
+                axis=-1,
+                keepdims=True,
+            )
+
+            ds = (p * (dp - delta) * scale).astype(qb.dtype)
+            p16 = p.astype(qb.dtype)
+
+            dq_ref[i, :, sl] = jax.lax.dot_general(
+                ds, kb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_ref[i, :, sl] = jax.lax.dot_general(
+                ds, qb, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+            dv_ref[i, :, sl] = jax.lax.dot_general(
+                p16, gb, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_blhd(q: Array, k: Array, v: Array, heads: int, scale: float) -> Array:
+    r"""Flash attention over (B, L, H*D) arrays — the layout the fused QKV
+    projection produces — for short self-attention (L <= 512, no mask or
+    dropout, TPU only; callers guarantee eligibility).
+
+    The (B, H, L, D) kernels force XLA to materialize a head transpose of
+    q/k/v on the way in and o on the way out (plus the same four around the
+    backward): at dit32 training shapes that is ~200 MB of pure layout
+    traffic per layer per step. These kernels instead read (G, L, H*D)
+    blocks straight out of the projection-layout arrays and lane-slice
+    heads in VMEM (the fused-MSA kernel's idiom).
+    """
+
+    from jax.experimental import pallas as pl
+
+    B, L, C = q.shape
+    H, D = heads, C // heads
+    G, grid, spec = _blhd_layout(B, H, L, D)
+
+    return pl.pallas_call(
+        functools.partial(_flash_blhd_fwd_kernel, scale, G, H, D),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, C), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * L * L * D,
+            bytes_accessed=4 * B * L * C * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(q, k, v)
+
+
+def _flash_blhd_fwd(q, k, v, heads, scale):
+    o = _flash_blhd(q, k, v, heads, scale)
+    return o, (q, k, v, o)
+
+
+def _flash_blhd_bwd(heads, scale, residuals, g):
+    from jax.experimental import pallas as pl
+
+    q, k, v, o = residuals
+    B, L, C = q.shape
+    H, D = heads, C // heads
+    G, grid, spec = _blhd_layout(B, H, L, D)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_blhd_bwd_kernel, scale, G, H, D),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, L, C), q.dtype) for _ in range(3)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * L * L * D,
+            bytes_accessed=8 * B * L * C * q.dtype.itemsize,
+            transcendentals=B * H * L * L,
+        ),
+    )(q, k, v, o, g.astype(q.dtype))
+
+    return dq, dk, dv
+
+
+_flash_blhd.defvjp(_flash_blhd_fwd, _flash_blhd_bwd)
+
+
 # Above this sequence length, K/V no longer stay resident in VMEM and the
 # blocked online-softmax kernel takes over.
 _FULL_KV_MAX_L = 2048

@@ -161,7 +161,7 @@ def _reference_core_flash(qkv, cos2, sin2, heads, eps, scale):
     step (66.6 -> 59.1 ms).
     """
 
-    from .attention import _flash
+    from .attention import _flash_blhd
 
     B, L, C3 = qkv.shape
     C = C3 // 3
@@ -189,13 +189,12 @@ def _reference_core_flash(qkv, cos2, sin2, heads, eps, scale):
         q = q * c + swap(q) * s
         k = k * c + swap(k) * s
 
-    q = q.swapaxes(1, 2)  # (B, H, L, D)
-    k = k.swapaxes(1, 2)
-    v = v.swapaxes(1, 2)
+    # Projection-layout kernels: no head transpose materialized anywhere.
+    o = _flash_blhd(
+        q.reshape(B, L, C), k.reshape(B, L, C), v.reshape(B, L, C), heads, scale
+    )
 
-    o = _flash(q, k, v, scale)
-
-    return o.swapaxes(1, 2).reshape(B, L, C)
+    return o
 
 
 def _kernel_call(qkv, cos2, sin2, heads, eps, scale):
