@@ -641,3 +641,40 @@ def test_fused_gn_kernel_production_shape(key):
         # differently, so allow a couple of output ulps at |y| ~ 4.
         err = jnp.max(jnp.abs(y_kernel.astype(jnp.float32) - y_xla.astype(jnp.float32)))
         assert float(err) < 0.1, (fn.__name__, float(err))
+
+
+@requires_tpu
+@pytest.mark.tpu_kernels
+def test_fused_msa_training_vjp_production_shape(key):
+    r"""The fused-MSA training path at the dit32 bench shape (B=128, L=256,
+    H=6, D=64): single-forward vjp, projection-layout kernels
+    (`_flash_blhd`), multi-pair single-block backward, no LSE residual —
+    gradients must match the materialized XLA reference (gate coverage for
+    the round-5 training-attention rework)."""
+
+    from azula_tpu.ops.fused_msa import _fused, _reference, rope_tables
+
+    B, L, H, D = 128, 256, 6, 64
+    C = H * D
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    qkv = jax.random.normal(k1, (B, L, 3 * C), dtype=jnp.bfloat16)
+    theta = jax.random.normal(k2, (L, C // 2), dtype=jnp.float32)
+    g = jax.random.normal(k3, (B, L, C), dtype=jnp.float32)
+
+    cos2, sin2 = rope_tables(theta, H)
+    eps, scale = 1e-5, 1 / 8.0
+
+    def loss(fn, qkv):
+        return jnp.sum(fn(qkv, cos2, sin2, H, eps, scale).astype(jnp.float32) * g)
+
+    got = jax.jit(jax.grad(lambda a: loss(_fused, a)))(qkv)
+    want = jax.jit(jax.grad(lambda a: loss(_reference, a)))(qkv)
+
+    got32 = got.astype(jnp.float32)
+    want32 = want.astype(jnp.float32)
+    scale_ref = float(jnp.max(jnp.abs(want32))) + 1e-6
+
+    # bf16 activations + mixed-precision norm/rope in the flash path vs the
+    # all-f32-statistics reference: bf16-level agreement.
+    assert float(jnp.max(jnp.abs(got32 - want32))) / scale_ref < 3e-2
