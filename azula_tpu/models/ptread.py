@@ -238,6 +238,14 @@ def load_pt(path: str):
             pkl = next(n for n in names if n == "data.pkl" or n.endswith("/data.pkl"))
             prefix = pkl[: -len("data.pkl")]
 
+            # Storages are decoded with native (little-endian) numpy dtypes;
+            # a big-endian checkpoint would silently byte-swap every tensor.
+            bo = next((n for n in names if n.rstrip("/").endswith("byteorder")), None)
+            if bo is not None and zf.read(bo).strip() != b"little":
+                raise ValueError(
+                    f"{path}: big-endian checkpoints are not supported"
+                )
+
             with zf.open(pkl) as f:
                 return _ZipUnpickler(f, zf, prefix).load()
 
